@@ -1,0 +1,69 @@
+"""Tests for brute-force kNN / Chamfer against numpy references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffassemble_tpu.ops.knn import (
+    chamfer_distance,
+    knn_indices,
+    nearest_neighbor,
+    pairwise_sqdist,
+)
+
+
+def test_pairwise_sqdist():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(10, 3)).astype(np.float32)
+    b = rng.normal(size=(7, 3)).astype(np.float32)
+    d = np.asarray(pairwise_sqdist(jnp.asarray(a), jnp.asarray(b)))
+    ref = ((a[:, None] - b[None, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(d, ref, atol=1e-4)
+
+
+def test_knn_includes_self():
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    idx = np.asarray(knn_indices(jnp.asarray(pts), k=5))
+    assert idx.shape == (50, 5)
+    assert all(idx[i, 0] == i for i in range(50))
+
+
+def test_knn_matches_numpy():
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(30, 3)).astype(np.float32)
+    idx = np.asarray(knn_indices(jnp.asarray(pts), k=4))
+    d = ((pts[:, None] - pts[None, :]) ** 2).sum(-1)
+    ref = np.argsort(d, axis=-1, kind="stable")[:, :4]
+    for i in range(30):
+        assert set(idx[i]) == set(ref[i])
+
+
+def test_chamfer_symmetric_zero():
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    d1, d2 = chamfer_distance(jnp.asarray(pts), jnp.asarray(pts))
+    np.testing.assert_allclose(np.asarray(d1), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), 0.0, atol=1e-5)
+
+
+def test_chamfer_matches_numpy():
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(40, 3)).astype(np.float32)
+    b = rng.normal(size=(60, 3)).astype(np.float32)
+    d1, d2 = chamfer_distance(jnp.asarray(a), jnp.asarray(b))
+    dd = ((a[:, None] - b[None, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d1), dd.min(1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d2), dd.min(0), atol=1e-4)
+
+
+def test_nearest_neighbor_batched():
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(2, 10, 3)).astype(np.float32)
+    b = rng.normal(size=(2, 12, 3)).astype(np.float32)
+    dist, idx = nearest_neighbor(jnp.asarray(a), jnp.asarray(b))
+    assert dist.shape == (2, 10) and idx.shape == (2, 10)
+    for k in range(2):
+        dd = ((a[k][:, None] - b[k][None, :]) ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(dist[k]), dd.min(1), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx[k]), dd.argmin(1))
