@@ -24,7 +24,9 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)  # (..., N, 1)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)  # (..., M, 1)
-    inner = jnp.einsum("...nc,...mc->...nm", a, b)
+    # full f32 accumulation: chamfer thresholds (part-acc CD < 0.01) and metric
+    # RMSEs are too tight for the default bf16 matmul passes
+    inner = jnp.einsum("...nc,...mc->...nm", a, b, precision=jax.lax.Precision.HIGHEST)
     d = a2 - 2.0 * inner + jnp.swapaxes(b2, -1, -2)
     return jnp.maximum(d, 0.0)
 

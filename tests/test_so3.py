@@ -23,7 +23,9 @@ def test_quat_matrix_roundtrip():
 def test_matrix_is_rotation():
     q = rand_quats(1, 128)
     m = np.asarray(so3.quaternion_to_matrix(q))
-    np.testing.assert_allclose(m @ m.transpose(0, 2, 1), np.eye(3)[None], atol=1e-5)
+    np.testing.assert_allclose(
+        m @ m.transpose(0, 2, 1), np.broadcast_to(np.eye(3), m.shape), atol=1e-5
+    )
     np.testing.assert_allclose(np.linalg.det(m), 1.0, atol=1e-5)
 
 
@@ -55,8 +57,8 @@ def test_so3_scale_composition():
     """R^0.5 @ R^0.5 == R; R^0 == I; R^1 == R."""
     q = rand_quats(2, 64)
     m = so3.quaternion_to_matrix(q)
-    half = so3.so3_scale(m, jnp.full((64,), 0.5))
-    np.testing.assert_allclose(np.asarray(half @ half), np.asarray(m), atol=1e-4)
+    half = np.asarray(so3.so3_scale(m, jnp.full((64,), 0.5)))
+    np.testing.assert_allclose(half @ half, np.asarray(m), atol=1e-4)
     ident = so3.so3_scale(m, jnp.zeros((64,)))
     np.testing.assert_allclose(np.asarray(ident), np.broadcast_to(np.eye(3), (64, 3, 3)), atol=1e-5)
     full = so3.so3_scale(m, jnp.ones((64,)))
@@ -93,7 +95,9 @@ def test_orthogonalise_projects():
     q = rand_quats(4, 16)
     m = so3.quaternion_to_matrix(q) + 0.01 * jax.random.normal(jax.random.PRNGKey(5), (16, 3, 3))
     o = np.asarray(so3.orthogonalise(m))
-    np.testing.assert_allclose(o @ o.transpose(0, 2, 1), np.eye(3)[None], atol=1e-5)
+    np.testing.assert_allclose(
+        o @ o.transpose(0, 2, 1), np.broadcast_to(np.eye(3), o.shape), atol=1e-5
+    )
     np.testing.assert_allclose(np.linalg.det(o), 1.0, atol=1e-5)
 
 
