@@ -1,0 +1,217 @@
+"""2D image sources and puzzle dataset factories (host-side input pipeline).
+
+Capability parity with the reference dataset layer (puzzle_diff/dataset/):
+- file-list datasets CelebA-HQ / WikiArt driven by `datasets/data_splits/*.txt`
+  (celeba_dt.py:11, wikiart_dt.py:11), plus generic image folders
+  (cifar100/imagenet via torchvision in dataset_utils.py:29-105);
+- `Puzzle_Dataset` semantics (puzzle_dataset.py:215-300): random puzzle size
+  per sample from a list, resize to patch_size·dims, patchify, grid targets,
+  fully-connected or expander topology;
+- ROT variant (:547-686): per-piece k·90° rotations appended as unit vectors;
+- missing-pieces variants (:382-544): drop ⌈N·perc/100⌉ random nodes;
+- `SyntheticImages`: a procedural image source (no disk needed) so training,
+  tests, and benchmarks run hermetically — each image has globally coherent
+  gradients + shapes so piece placement is learnable.
+
+Factories mirror dataset_utils.get_dataset* (:29,107,165,262): they return
+(train_dataset, test_dataset, puzzle_sizes).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .expander import cached_expander_mask, expander_mask
+from .patchify import make_puzzle
+
+
+class SyntheticImages:
+    """Procedural RGB images: smooth low-frequency fields + random rectangles.
+
+    Deterministic per (seed, index) so train/test splits are reproducible.
+    """
+
+    def __init__(self, size_hw: tuple[int, int], n: int = 1000, seed: int = 0):
+        self.size_hw = size_hw
+        self.n = n
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        h, w = self.size_hw
+        rng = np.random.default_rng((self.seed, idx))
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        yy, xx = yy / h, xx / w
+        img = np.zeros((h, w, 3), dtype=np.float32)
+        for c in range(3):
+            fx, fy = rng.uniform(0.5, 3.0, 2)
+            px, py = rng.uniform(0, 2 * np.pi, 2)
+            img[..., c] = 0.5 + 0.35 * np.sin(2 * np.pi * fx * xx + px) * np.cos(
+                2 * np.pi * fy * yy + py
+            )
+        for _ in range(6):
+            y0, x0 = rng.integers(0, h // 2), rng.integers(0, w // 2)
+            dy, dx = rng.integers(h // 8, h // 2), rng.integers(w // 8, w // 2)
+            col = rng.uniform(0, 1, 3).astype(np.float32)
+            img[y0 : y0 + dy, x0 : x0 + dx] = 0.6 * img[y0 : y0 + dy, x0 : x0 + dx] + 0.4 * col
+        return np.clip(img, 0.0, 1.0)
+
+
+class ImageFolder:
+    """Images from a directory or a file-list split (CelebA-HQ / WikiArt style:
+    reference celeba_dt.py / wikiart_dt.py read data_splits/*.txt)."""
+
+    def __init__(self, root: str, split_file: str | None = None, size_hw: tuple[int, int] = (192, 192)):
+        from PIL import Image  # noqa: F401 — validated lazily
+
+        self.root = Path(root)
+        if split_file:
+            names = [ln.strip() for ln in open(split_file) if ln.strip()]
+            self.files = [self.root / n for n in names]
+        else:
+            exts = {".jpg", ".jpeg", ".png", ".webp", ".bmp"}
+            self.files = sorted(p for p in self.root.rglob("*") if p.suffix.lower() in exts)
+        self.size_hw = size_hw
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(self.files[idx]).convert("RGB")
+        return np.asarray(img, dtype=np.float32) / 255.0
+
+
+class PuzzleDataset:
+    """Random-size jigsaw puzzles from an image source (reference
+    Puzzle_Dataset / _ROT / _MP, puzzle_dataset.py:215-716).
+
+    Yields make_puzzle() dicts + 'adj' (N, N) topology + 'patches_dim'.
+    """
+
+    def __init__(
+        self,
+        images,
+        puzzle_sizes: list[tuple[int, int]],
+        patch_size: int = 32,
+        rotation: bool = False,
+        degree: int | str = -1,
+        unique_graph: bool = False,
+        missing_perc: int = 0,
+        inference_full: bool = False,
+        seed: int = 0,
+    ):
+        self.images = images
+        self.puzzle_sizes = [tuple(s) for s in puzzle_sizes]
+        self.patch_size = patch_size
+        self.rotation = rotation
+        self.degree = degree
+        self.unique_graph = unique_graph
+        self.missing_perc = missing_perc
+        self.inference_full = inference_full
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    @property
+    def max_nodes(self) -> int:
+        return max(h * w for h, w in self.puzzle_sizes)
+
+    def __getitem__(self, idx: int) -> dict:
+        rng = np.random.default_rng((self.seed, idx))
+        ph, pw = self.puzzle_sizes[rng.integers(len(self.puzzle_sizes))]
+        img = self.images[idx]
+        want = (ph * self.patch_size, pw * self.patch_size)
+        if img.shape[:2] != want:
+            img = _resize(img, want)
+        sample = make_puzzle(img, ph, pw, self.patch_size, rotation=self.rotation, rng=rng)
+        n = ph * pw
+
+        if self.missing_perc > 0:
+            # drop ⌈N·perc/100⌉ random pieces (reference :382-485)
+            n_drop = int(np.ceil(n * self.missing_perc / 100))
+            keep = rng.permutation(n)[: n - n_drop]
+            keep.sort()
+            for key in ("patches", "x0", "grid", "rot_k"):
+                sample[key] = sample[key][keep]
+            n = len(keep)
+
+        if self.degree == -1 or self.inference_full:
+            adj = np.ones((n, n), dtype=bool)
+        elif self.unique_graph:
+            adj = cached_expander_mask(n, str(self.degree), self.seed)
+        else:
+            adj = expander_mask(n, self.degree, rng)
+        sample["adj"] = adj
+        sample["patches_dim"] = np.array([ph, pw], dtype=np.int32)
+        sample["index"] = idx
+        return sample
+
+
+def _resize(img: np.ndarray, size_hw: tuple[int, int]) -> np.ndarray:
+    try:
+        from PIL import Image
+
+        pil = Image.fromarray((img * 255).astype(np.uint8))
+        pil = pil.resize((size_hw[1], size_hw[0]))
+        return np.asarray(pil, dtype=np.float32) / 255.0
+    except ImportError:  # nearest-neighbor fallback
+        h, w = size_hw
+        yi = (np.arange(h) * img.shape[0] / h).astype(int)
+        xi = (np.arange(w) * img.shape[1] / w).astype(int)
+        return img[yi][:, xi]
+
+
+def get_dataset(
+    dataset: str = "synthetic",
+    puzzle_sizes: list[tuple[int, int]] | list[int] = (6,),
+    patch_size: int = 32,
+    rotation: bool = False,
+    degree: int | str = -1,
+    missing_perc: int = 0,
+    inf_fully: bool = True,
+    data_root: str | None = None,
+    train_n: int = 2000,
+    test_n: int = 200,
+    seed: int = 0,
+):
+    """Dataset factory (reference dataset_utils.get_dataset/get_dataset_ROT/
+    get_dataset_missing_pieces :29,107,165). Returns (train, test, sizes).
+
+    `dataset`: synthetic | celeba | wikiart | <path to image folder>.
+    Test split always uses the full graph unless inf_fully=False (:99).
+    """
+    sizes = [(s, s) if isinstance(s, int) else tuple(s) for s in puzzle_sizes]
+    max_hw = max(max(h, w) for h, w in sizes)
+    size_hw = (max_hw * patch_size, max_hw * patch_size)
+
+    def image_source(split: str, n: int, seed_off: int):
+        if dataset == "synthetic":
+            return SyntheticImages(size_hw, n=n, seed=seed + seed_off)
+        root = data_root or os.environ.get("DIFFASSEMBLE_DATA", "datasets")
+        split_dir = Path(root) / "data_splits"
+        split_map = {
+            "celeba": (Path(root) / "celeba-hq", split_dir / f"CelebA-HQ_{split}.txt"),
+            "wikiart": (Path(root) / "wikiart", split_dir / f"wikiart_subset_{split}.txt"),
+        }
+        if dataset in split_map:
+            img_root, split_file = split_map[dataset]
+            if split_file.exists():
+                return ImageFolder(str(img_root), str(split_file), size_hw)
+            return ImageFolder(str(img_root), None, size_hw)
+        return ImageFolder(dataset, None, size_hw)
+
+    mk = lambda imgs, split_seed, inf: PuzzleDataset(
+        imgs, sizes, patch_size, rotation=rotation, degree=degree,
+        missing_perc=missing_perc, inference_full=inf, seed=seed + split_seed,
+    )
+    train = mk(image_source("train", train_n, 0), 0, False)
+    test = mk(image_source("test", test_n, 1), 1, inf_fully)
+    return train, test, sizes

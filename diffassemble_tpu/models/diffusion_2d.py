@@ -1,0 +1,251 @@
+"""Continuous 2D puzzle diffusion — the flagship model.
+
+Capability parity with the reference's main 2D model `GNN_Diffusion`
+(puzzle_diff/model/spatial_diffusion.py:219-1378): Gaussian DDPM/DDIM over node
+states x ∈ R² (position) or R⁴ (position + rotation unit vector), conditioned on
+per-piece visual features through a graph-attention denoiser, with
+classifier-free guidance, huber/l1/l2 losses on ε or x₀, greedy-assignment
+evaluation, and per-puzzle-size accuracy metrics.
+
+TPU-first structure (not a port):
+* no Lightning module — a frozen config + pure functions over a params pytree;
+* puzzles are padded (B, N) node arrays with masks, never PyG graphs;
+* the entire reverse process is one `lax.scan` (ops/gaussian.sample_loop) with
+  visual features computed once outside the scan (as the reference does at
+  spatial_diffusion.py:653) — zero host round-trips during sampling;
+* evaluation (greedy assignment + accuracies) is vmapped on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Literal
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..nn.denoiser import GraphDenoiser2D
+from ..nn.visual import make_visual_encoder
+from ..ops.assignment import greedy_assignment_batch
+from ..ops.gaussian import q_sample, sample_loop
+from ..ops.schedules import DiffusionSchedule
+
+
+@dataclasses.dataclass(frozen=True)
+class Diffusion2DConfig:
+    """Flat config mirroring the reference's constructor/argparse flags
+    (spatial_diffusion.py:220-245, train_script.py:240-296)."""
+
+    steps: int = 300
+    sampling: Literal["ddpm", "ddim"] = "ddim"
+    inference_ratio: int = 10
+    mean_type: Literal["epsilon", "xstart"] = "epsilon"
+    scheduler: str = "linear"
+    rotation: bool = False
+    noise_weight: float = 0.0
+    classifier_free_prob: float = 0.0
+    classifier_free_w: float = 0.0
+    loss_type: Literal["huber", "l1", "l2"] = "huber"
+    backbone: str = "efficientnet_b0"
+    architecture: str = "transformer"
+    n_layers: int = 4
+    virt_nodes: int = 4
+    hidden_dim: int = 256
+    heads: int = 8
+    freeze_backbone: bool = False
+    all_equivariant: bool = False
+    learning_rate: float = 1e-4
+    compute_dtype: str = "float32"
+
+    @property
+    def input_channels(self) -> int:
+        return 4 if self.rotation else 2
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+class Diffusion2D:
+    """Pure-functional 2D diffusion model: encoder + denoiser + samplers."""
+
+    def __init__(self, config: Diffusion2DConfig):
+        self.cfg = config
+        self.sched = DiffusionSchedule.create(config.steps, config.scheduler)
+        self.encoder = make_visual_encoder(config.backbone, dtype=config.dtype)
+        feat_dim = 1088
+        self.denoiser = GraphDenoiser2D(
+            steps=config.steps,
+            input_channels=config.input_channels,
+            output_channels=config.input_channels,
+            feature_dim=feat_dim,
+            n_layers=config.n_layers,
+            architecture=config.architecture,
+            virt_nodes=config.virt_nodes,
+            hidden_dim=config.hidden_dim,
+            heads=config.heads,
+            dtype=config.dtype,
+        )
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, rng: jax.Array, batch) -> dict:
+        b, n, ps = batch.patches.shape[0], batch.patches.shape[1], batch.patches.shape[2]
+        k1, k2 = jax.random.split(rng)
+        enc_params = self.encoder.init(k1, jnp.zeros((1, ps, ps, 3)))
+        den_params = self.denoiser.init(
+            k2,
+            jnp.zeros((1, n, self.cfg.input_channels)),
+            jnp.zeros((1, n), dtype=jnp.int32),
+            jnp.zeros((1, n, 1088)),
+            jnp.ones((1, n, n), dtype=bool),
+            jnp.ones((1, n), dtype=bool),
+        )
+        return {"encoder": enc_params["params"], "denoiser": den_params["params"]}
+
+    # -------------------------------------------------------------- features
+
+    def visual_features(self, params: dict, patches: jnp.ndarray) -> jnp.ndarray:
+        """(B, N, ps, ps, 3) → (B, N, F). Computed once per batch, reused
+        across all sampling steps (reference spatial_diffusion.py:653).
+
+        `all_equivariant` averages features of the 4 rotated copies of every
+        patch (reference efficient_gat.py:156-158) — a vmap over jnp.rot90.
+        """
+        b, n = patches.shape[:2]
+        flat = patches.reshape(b * n, *patches.shape[2:])
+        if self.cfg.all_equivariant:
+            feats = jnp.stack(
+                [
+                    self.encoder.apply({"params": params["encoder"]}, jnp.rot90(flat, k=k, axes=(1, 2)))
+                    for k in range(4)
+                ]
+            ).mean(0)
+        else:
+            feats = self.encoder.apply({"params": params["encoder"]}, flat)
+        if self.cfg.freeze_backbone:
+            feats = jax.lax.stop_gradient(feats)
+        return feats.reshape(b, n, -1)
+
+    def denoise(self, params, x_t, t, feats, adj, node_mask):
+        return self.denoiser.apply(
+            {"params": params["denoiser"]}, x_t, t, feats, adj, node_mask
+        ).astype(jnp.float32)
+
+    # ------------------------------------------------------------------ loss
+
+    def loss(self, params: dict, batch, rng: jax.Array) -> tuple[jnp.ndarray, dict]:
+        """Training loss (reference training_step + p_losses :707-721, :432-483):
+        per-graph t ~ U[0, T) scattered to nodes, huber on ε or x₀, masked mean."""
+        cfg = self.cfg
+        b, n = batch.x0.shape[:2]
+        k_t, k_noise, k_cf = jax.random.split(rng, 3)
+        t_graph = jax.random.randint(k_t, (b,), 0, cfg.steps)
+        t = jnp.broadcast_to(t_graph[:, None], (b, n))
+
+        noise = jax.random.normal(k_noise, batch.x0.shape)
+        x_noisy = q_sample(self.sched, batch.x0, t, noise)
+
+        feats = self.visual_features(params, batch.patches)
+        if cfg.classifier_free_prob > 0:
+            keep = (
+                jax.random.uniform(k_cf, (b, 1, 1)) >= cfg.classifier_free_prob
+            ).astype(feats.dtype)
+            feats = feats * keep
+
+        pred = self.denoise(params, x_noisy, t, feats, batch.adj, batch.node_mask)
+        target = batch.x0 if cfg.mean_type == "xstart" else noise
+
+        err_fn = {
+            "huber": lambda p, y: optax.huber_loss(p, y, delta=1.0),
+            "l1": lambda p, y: jnp.abs(p - y),
+            "l2": lambda p, y: (p - y) ** 2,
+        }[cfg.loss_type]
+        per_elem = err_fn(pred, target)
+        mask = batch.node_mask[..., None].astype(per_elem.dtype)
+        loss = jnp.sum(per_elem * mask) / jnp.maximum(jnp.sum(mask) * per_elem.shape[-1] / mask.shape[-1], 1.0)
+        return loss, {"loss": loss, "t_mean": t_graph.mean()}
+
+    # -------------------------------------------------------------- sampling
+
+    def sample(
+        self,
+        params: dict,
+        batch,
+        rng: jax.Array,
+        keep_trajectory: bool = False,
+        inference_ratio: int | None = None,
+    ):
+        """Full reverse process under one lax.scan (reference p_sample_loop
+        :636-676). Returns SampleLoopResult with final (B, N, C)."""
+        cfg = self.cfg
+        b, n = batch.x0.shape[:2]
+        ratio = inference_ratio or cfg.inference_ratio
+        k_init, k_loop = jax.random.split(rng)
+        init = (
+            jax.random.normal(k_init, (b, n, cfg.input_channels)) * cfg.noise_weight
+        )
+        feats = self.visual_features(params, batch.patches)
+        zero_feats = jnp.zeros_like(feats)
+
+        def denoise_fn(x, t):
+            out = self.denoise(params, x, t, feats, batch.adj, batch.node_mask)
+            if cfg.classifier_free_prob > 0 and cfg.classifier_free_w != 0:
+                # classifier-free mix (reference p_sample_ddim :568-589)
+                uncond = self.denoise(params, x, t, zero_feats, batch.adj, batch.node_mask)
+                out = (1 + cfg.classifier_free_w) * out - cfg.classifier_free_w * uncond
+            return out
+
+        return sample_loop(
+            self.sched,
+            denoise_fn,
+            init,
+            k_loop,
+            inference_ratio=ratio,
+            sampling=cfg.sampling,
+            mean_type=cfg.mean_type,
+            keep_trajectory=keep_trajectory,
+        )
+
+    # ------------------------------------------------------------- evaluation
+
+    def evaluate(self, params: dict, batch, rng: jax.Array) -> dict:
+        """On-device eval (reference validation_step :775-903): greedy
+        assignment of predictions and ground truth to the anchor grid; puzzle
+        correct iff assignments agree everywhere (and rotations within 45°)."""
+        res = self.sample(params, batch, rng)
+        return self.metrics_from_final(res.final, batch)
+
+    def metrics_from_final(self, final: jnp.ndarray, batch) -> dict:
+        cfg = self.cfg
+        valid = batch.node_mask
+        pred_pos = final[..., :2]
+        gt_pos = batch.x0[..., :2]
+        pred_ass = greedy_assignment_batch(pred_pos, batch.grid, valid)
+        gt_ass = greedy_assignment_batch(gt_pos, batch.grid, valid)
+        piece_correct = (pred_ass == gt_ass) & valid
+        if cfg.rotation:
+            pred_rot = final[..., 2:4]
+            gt_rot = batch.x0[..., 2:4]
+            cos = jnp.sum(pred_rot * gt_rot, axis=-1) / jnp.maximum(
+                jnp.linalg.norm(pred_rot, axis=-1) * jnp.linalg.norm(gt_rot, axis=-1),
+                1e-8,
+            )
+            rot_correct = cos > math.cos(math.pi / 4)
+            piece_correct = piece_correct & rot_correct
+        n_valid = jnp.maximum(valid.sum(-1), 1)
+        piece_acc = piece_correct.sum(-1) / n_valid  # (B,)
+        puzzle_correct = (piece_correct | ~valid).all(-1)  # (B,)
+        return {
+            "piece_acc": piece_acc,
+            "puzzle_correct": puzzle_correct.astype(jnp.float32),
+            "n_valid": n_valid,
+        }
+
+    # ------------------------------------------------------------- optimizer
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        """Adafactor, matching the reference (spatial_diffusion.py:701-705)."""
+        return optax.adafactor(learning_rate=None)

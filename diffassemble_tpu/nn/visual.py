@@ -1,0 +1,281 @@
+"""Visual patch encoders (flax.linen), NHWC.
+
+TPU-native equivalents of the reference's 2D visual feature extractors:
+
+- `PatchConvEncoder` ↔ the timm efficientnet_b0 `features_only` tap at stages
+  2 and 3 (efficient_gat.py:40-51,162-188): a from-scratch multi-scale CNN on
+  32×32 patches whose two taps flatten+concat to the same 1088-d feature the
+  reference feeds the GNN (40ch@4×4 → 640 dims, 112ch@2×2 → 448 dims).
+  Pretrained ImageNet weights are not bundled (no-egress build); weights can
+  be loaded from a local converted checkpoint via the trainer instead.
+- `GroupConvZ2` / `GroupConvP4` ↔ GrouPy's P4ConvZ2/P4ConvP4
+  (groupy/gconv/pytorch_gconv/splitgconv2d.py:15-109): C4 (p4) group-
+  equivariant convolutions, implemented as static filter transforms
+  (jnp.rot90 + orientation roll of the kernel) feeding one big XLA conv —
+  the gather-based `trans_filter` becomes a compile-time constant rearrange.
+- `EquivariantResNet18` ↔ backbones/resnet_equivariant.py:69-122: the
+  C4-equivariant ResNet18 used by the rotation-puzzle recipe, tapping stages
+  3/4 through 544-d linear heads → 1088-d output.
+
+The per-orientation norm layer is a stateless instance-norm over
+(H, W, orientation) per channel — equivariant like the reference's
+BatchNorm3d but with no running-stats state to thread through pjit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.lax as lax
+import jax.numpy as jnp
+
+Dtype = Any
+
+IMAGENET_MEAN = (0.4850, 0.4560, 0.4060)
+IMAGENET_STD = (0.2290, 0.2240, 0.2250)
+
+
+def normalize_patches(patches: jnp.ndarray) -> jnp.ndarray:
+    """ImageNet mean/std normalization (reference efficient_gat.py:109-112,150).
+    patches: (..., H, W, 3) in [0, 1]."""
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=patches.dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype=patches.dtype)
+    return (patches - mean) / std
+
+
+# ---------------------------------------------------------------------------
+# Plain multi-scale encoder (efficientnet_b0-features equivalent)
+# ---------------------------------------------------------------------------
+
+
+class ConvBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            padding="SAME", use_bias=False, dtype=self.dtype,
+        )(x)
+        x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype)(x)
+        return nn.silu(x)
+
+
+class ResidualConvBlock(nn.Module):
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = ConvBlock(self.features, dtype=self.dtype)(x)
+        h = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype)(h)
+        if x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        return nn.silu(x + h)
+
+
+class PatchConvEncoder(nn.Module):
+    """Multi-scale CNN over 32×32 patches → (B, 1088) features.
+
+    Taps at /8 (40ch, 4×4 → 640) and /16 (112ch, 2×2 → 448) mirror the
+    efficientnet_b0 features[2]/features[3] shapes the reference flattens and
+    concatenates (efficient_gat.py:162-166). Input NHWC in [0,1].
+    """
+
+    width: Sequence[int] = (32, 24, 40, 112)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = normalize_patches(x)
+        w0, w1, w2, w3 = self.width
+        x = ConvBlock(w0, stride=2, dtype=self.dtype)(x)          # 16×16
+        x = ResidualConvBlock(w0, dtype=self.dtype)(x)
+        x = ConvBlock(w1, stride=2, dtype=self.dtype)(x)          # 8×8
+        x = ResidualConvBlock(w1, dtype=self.dtype)(x)
+        x = ConvBlock(w2, stride=2, dtype=self.dtype)(x)          # 4×4
+        x = ResidualConvBlock(w2, dtype=self.dtype)(x)
+        tap1 = x.reshape(x.shape[0], -1)                          # 40·16 = 640
+        x = ConvBlock(w3, stride=2, dtype=self.dtype)(x)          # 2×2
+        x = ResidualConvBlock(w3, dtype=self.dtype)(x)
+        tap2 = x.reshape(x.shape[0], -1)                          # 112·4 = 448
+        return jnp.concatenate([tap1, tap2], axis=-1)             # 1088
+
+    @property
+    def feature_dim(self) -> int:
+        w2, w3 = self.width[2], self.width[3]
+        return w2 * 16 + w3 * 4
+
+
+# ---------------------------------------------------------------------------
+# C4 (p4) group-equivariant convolutions
+# ---------------------------------------------------------------------------
+
+
+def _rotate_kernel_z2(w: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Spatially rotate an HWIO kernel by r×90° CCW."""
+    return jnp.rot90(w, k=r, axes=(0, 1))
+
+
+def _rotate_kernel_p4(w: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Transform a (k, k, 4, Cin, Cout) p4 kernel for output orientation r:
+    spatial rotation by r plus cyclic shift of the input-orientation axis."""
+    return jnp.roll(jnp.rot90(w, k=r, axes=(0, 1)), shift=r, axis=2)
+
+
+class GroupConvZ2(nn.Module):
+    """Z2 → p4 lifting convolution: (B,H,W,Cin) → (B,H',W',4,Cout)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        w = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (k, k, x.shape[-1], self.features),
+            jnp.float32,
+        ).astype(self.dtype)
+        big = jnp.concatenate([_rotate_kernel_z2(w, r) for r in range(4)], axis=-1)
+        out = lax.conv_general_dilated(
+            x, big,
+            window_strides=(self.stride, self.stride),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b, h, wdt, _ = out.shape
+        return out.reshape(b, h, wdt, 4, self.features)
+
+
+class GroupConvP4(nn.Module):
+    """p4 → p4 group convolution: (B,H,W,4,Cin) → (B,H',W',4,Cout)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (k, k, 4, cin, self.features),
+            jnp.float32,
+        ).astype(self.dtype)
+        big = jnp.concatenate(
+            [_rotate_kernel_p4(w, r).reshape(k, k, 4 * cin, self.features) for r in range(4)],
+            axis=-1,
+        )  # (k, k, 4*Cin, 4*Cout)
+        b, h, wdt, _, _ = x.shape
+        out = lax.conv_general_dilated(
+            x.reshape(b, h, wdt, 4 * cin), big,
+            window_strides=(self.stride, self.stride),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b, h2, w2, _ = out.shape
+        return out.reshape(b, h2, w2, 4, self.features)
+
+
+class OrientationNorm(nn.Module):
+    """Instance norm over (H, W, orientation) per channel — the stateless,
+    equivariant stand-in for the reference's BatchNorm3d."""
+
+    dtype: Dtype = jnp.float32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 4, C)
+        c = x.shape[-1]
+        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class EquivariantBasicBlock(nn.Module):
+    """C4-equivariant ResNet BasicBlock (reference resnet_equivariant.py:16-38)."""
+
+    features: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = GroupConvP4(self.features, 3, self.stride, dtype=self.dtype)(x)
+        h = nn.relu(OrientationNorm(dtype=self.dtype)(h))
+        h = GroupConvP4(self.features, 3, 1, dtype=self.dtype)(h)
+        h = OrientationNorm(dtype=self.dtype)(h)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = GroupConvP4(self.features, 1, self.stride, dtype=self.dtype)(x)
+            x = OrientationNorm(dtype=self.dtype)(x)
+        return nn.relu(x + h)
+
+
+class EquivariantResNet18(nn.Module):
+    """C4-equivariant ResNet18 over 32×32 patches → (B, 1088).
+
+    Mirrors reference resnet_equivariant.py:69-112: stem 32ch stride 1, stages
+    [32, 64, 64, 128] with strides [1, 2, 2, 2], taps at stage 3 (64ch·4·8·8)
+    and stage 4 (128ch·4·4·4) each linearly projected to 544 dims.
+    """
+
+    dtype: Dtype = jnp.float32
+    feature_dim: int = 1088
+
+    @nn.compact
+    def __call__(self, x):
+        x = normalize_patches(x)
+        x = GroupConvZ2(32, 3, 1, dtype=self.dtype)(x)
+        x = nn.relu(OrientationNorm(dtype=self.dtype)(x))
+        for features, stride, blocks in [(32, 1, 2), (64, 2, 2), (64, 2, 2)]:
+            for i in range(blocks):
+                x = EquivariantBasicBlock(features, stride if i == 0 else 1, dtype=self.dtype)(x)
+        tap3 = nn.Dense(544, dtype=self.dtype, name="proj3")(x.reshape(x.shape[0], -1))
+        for i in range(2):
+            x = EquivariantBasicBlock(128, 2 if i == 0 else 1, dtype=self.dtype)(x)
+        tap4 = nn.Dense(544, dtype=self.dtype, name="proj4")(x.reshape(x.shape[0], -1))
+        return jnp.concatenate([tap3, tap4], axis=-1)
+
+
+class TinyPatchEncoder(nn.Module):
+    """Minimal MLP patch encoder (pooled pixels → Dense) for fast-compiling
+    tests and CPU dry runs. Same (B, 1088) output contract as the real
+    encoders; not intended for accuracy work."""
+
+    dtype: Dtype = jnp.float32
+    feature_dim: int = 1088
+
+    @nn.compact
+    def __call__(self, x):
+        x = normalize_patches(x)
+        b, h, w, c = x.shape
+        # 4×4 average pool grid keeps coarse spatial structure
+        x = x.reshape(b, 4, h // 4, 4, w // 4, c).mean(axis=(2, 4)).reshape(b, -1)
+        x = nn.Dense(128, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        return nn.Dense(self.feature_dim, dtype=self.dtype)(x)
+
+
+def make_visual_encoder(name: str, dtype: Dtype = jnp.float32) -> nn.Module:
+    """Backbone switch mirroring Eff_GAT (efficient_gat.py:37-51)."""
+    if name in ("efficientnet_b0", "convnet"):
+        return PatchConvEncoder(dtype=dtype)
+    if name == "resnet18equiv":
+        return EquivariantResNet18(dtype=dtype)
+    if name == "tiny":
+        return TinyPatchEncoder(dtype=dtype)
+    raise ValueError(f"unknown visual backbone {name!r}")

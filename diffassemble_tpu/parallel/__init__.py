@@ -1,0 +1,10 @@
+"""Device mesh + sharding helpers (DP over ICI, optional TP over heads)."""
+
+from .mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    param_sharding_rules,
+    replicated,
+    shard_batch,
+    shard_params,
+)

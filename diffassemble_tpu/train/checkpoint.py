@@ -1,0 +1,77 @@
+"""Orbax checkpointing + config serialization.
+
+Capability parity with the reference's Lightning ModelCheckpoint + wandb-id
+resume (train_script.py:206-212,225-237; hyperparameters serialized into
+checkpoints via save_hyperparameters, spatial_diffusion.py:332):
+
+- top-k by a monitored metric (2D: overall_acc max; 3D: rmse_t_AVG min) plus
+  save-last semantics;
+- the model config is stored as JSON next to the weights so `load_latest`
+  reconstructs the model without external state;
+- resuming picks up params, opt state, and step counter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory: str,
+        monitor: str = "overall_acc",
+        mode: str = "max",
+        keep_top_k: int = 2,
+    ):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep_top_k + 1,
+                best_fn=(lambda m: m.get(monitor, -np.inf if mode == "max" else np.inf))
+                if monitor
+                else None,
+                best_mode=mode,
+            ),
+        )
+
+    def save_config(self, config: Any) -> None:
+        cfg = dataclasses.asdict(config) if dataclasses.is_dataclass(config) else dict(config)
+        (self.directory / "config.json").write_text(json.dumps(cfg, indent=2))
+
+    def load_config(self) -> dict:
+        return json.loads((self.directory / "config.json").read_text())
+
+    def save(self, step: int, state, metrics: dict[str, float] | None = None) -> None:
+        self.mgr.save(
+            step,
+            args=ocp.args.StandardSave(jax.tree.map(np.asarray, state._asdict())),
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        )
+        self.mgr.wait_until_finished()
+
+    def restore(self, state_template, step: int | None = None):
+        step = step if step is not None else self.mgr.latest_step()
+        if step is None:
+            return None
+        restored = self.mgr.restore(
+            step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, state_template._asdict()))
+        )
+        return type(state_template)(**restored)
+
+    def latest_step(self) -> int | None:
+        return self.mgr.latest_step()
+
+    def best_step(self) -> int | None:
+        return self.mgr.best_step()
