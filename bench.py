@@ -1,0 +1,93 @@
+"""Headline benchmark: 30×30 (900-piece) puzzle DDIM sampling latency on TPU.
+
+Reference baseline: ~5 s/puzzle at 95% accuracy on a single GPU
+(BASELINE.md: README.md:36-37 — 300 train steps, DDIM inference_ratio=10 → 30
+reverse steps). North star: <1 s/puzzle on one TPU chip.
+
+Measures the full reverse process (visual features once + 30 scan steps of the
+graph-attention denoiser over 900 nodes) with the flagship 2D rotation model,
+batched; reports seconds per puzzle. `vs_baseline` is the speedup factor
+(reference 5 s / ours).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from diffassemble_tpu.data import PuzzleBatch, collate_puzzles, make_puzzle
+    from diffassemble_tpu.data.expander import expander_mask
+    from diffassemble_tpu.models.diffusion_2d import Diffusion2D, Diffusion2DConfig
+
+    HW = (30, 30)
+    BATCH = 4
+    N = HW[0] * HW[1]
+
+    cfg = Diffusion2DConfig(
+        steps=300,
+        inference_ratio=10,  # 30 reverse steps, the reference's timing config
+        sampling="ddim",
+        mean_type="xstart",
+        rotation=True,
+        backbone="efficientnet_b0",
+        architecture="exophormer",
+        virt_nodes=8,
+        n_layers=4,
+        compute_dtype="bfloat16",
+    )
+    model = Diffusion2D(cfg)
+
+    rng = np.random.default_rng(0)
+    adj = expander_mask(N, "10%", rng)  # sparse Exphormer topology at N=900
+    samples = []
+    for i in range(BATCH):
+        img = rng.random((HW[0] * 32, HW[1] * 32, 3), dtype=np.float32)
+        s = make_puzzle(img, HW[0], HW[1], 32, rotation=cfg.rotation, rng=rng)
+        s["adj"] = adj
+        s["patches_dim"] = np.array(HW, dtype=np.int32)
+        samples.append(s)
+    nb = collate_puzzles(samples, n_max=N)
+    batch = PuzzleBatch(*[jnp.asarray(a) for a in nb])
+
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def run(params, batch, key):
+        return model.sample(params, batch, key).final
+
+    key = jax.random.PRNGKey(1)
+    out = run(params, batch, key)
+    out.block_until_ready()  # compile + warmup
+
+    times = []
+    for i in range(3):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        out = run(params, batch, k)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    s_per_puzzle = min(times) / BATCH
+    print(
+        json.dumps(
+            {
+                "metric": "celeba_30x30_sampling_latency",
+                "value": round(s_per_puzzle, 4),
+                "unit": "s/puzzle",
+                "vs_baseline": round(5.0 / s_per_puzzle, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,263 @@
+"""3D fractured-object datasets → padded FragmentBatch arrays.
+
+Capability parity with the reference's Breaking-Bad pipeline:
+- `GeometryPartDataset` (puzzle_diff/dataset/breakingbad_dt.py:11-270): scan
+  fracture dirs from a data-split file, filter by part count (:48-75), sample
+  1000 surface points per part mesh (:113-134), recenter each part (gt trans,
+  :77-82), apply a random SO(3) rotation (gt quat scalar-first, :84-95),
+  shuffle part order, zero-pad to max_num_part with a part_valids mask
+  (:105-111,136-209);
+- `Objects_Dataset` (objects_dataset.py:158-225): graph conversion — here the
+  padded arrays ARE the graph (fully-connected adjacency over valid parts,
+  optional missing-% dropout / degree subsampling);
+- `SyntheticFractures`: a procedural stand-in (random blob point clouds split
+  by random planes) so 3D training/tests/benchmarks run without the 7TB
+  Breaking-Bad download. Same tensor contract as the real loader.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .batch import FragmentBatch
+
+
+def _random_quaternion(rng: np.random.Generator, n: int) -> np.ndarray:
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    q[q[:, 0] < 0] *= -1
+    return q.astype(np.float32)
+
+
+def _quat_to_matrix(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return np.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w),
+            2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w),
+            2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    ).reshape(*q.shape[:-1], 3, 3)
+
+
+class SyntheticFractures:
+    """Procedural fractured objects.
+
+    Each object: a deformed unit-sphere point cloud cut into 2..max_num_part
+    pieces by random planes through the origin. Per part, sample `num_points`
+    points, recenter (the offset is the gt translation) and rotate by a random
+    quaternion (the gt rotation) — mirroring the real pipeline's gt
+    construction (breakingbad_dt.py:77-95).
+    """
+
+    def __init__(
+        self,
+        n: int = 512,
+        num_points: int = 1000,
+        min_num_part: int = 2,
+        max_num_part: int = 8,
+        n_categories: int = 4,
+        seed: int = 0,
+    ):
+        self.n = n
+        self.num_points = num_points
+        self.min_num_part = min_num_part
+        self.max_num_part = max_num_part
+        self.n_categories = n_categories
+        self.seed = seed
+
+    @property
+    def category_names(self) -> list[str]:
+        return [f"cat{i}" for i in range(self.n_categories)]
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, idx: int) -> dict:
+        rng = np.random.default_rng((self.seed, idx))
+        p = int(rng.integers(self.min_num_part, self.max_num_part + 1))
+
+        # dense blob surface
+        n_dense = self.num_points * max(p, 4) * 2
+        pts = rng.normal(size=(n_dense, 3))
+        pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+        # smooth radial deformation for shape variety
+        freqs = rng.normal(size=(3, 3))
+        r = 1.0 + 0.3 * np.tanh(np.sin(pts @ freqs.T).sum(-1))
+        pts = (pts * r[:, None]).astype(np.float32)
+
+        # cut into p cells by p-1 random planes: cell id = bit pattern of sides
+        labels = np.zeros(len(pts), dtype=np.int64)
+        normals = rng.normal(size=(max(p - 1, 1), 3))
+        normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+        for k in range(p - 1):
+            labels = labels * 2 + (pts @ normals[k] > 0)
+        # map arbitrary cell ids onto p part slots
+        uniq = np.unique(labels)
+        remap = {u: i % p for i, u in enumerate(uniq)}
+        labels = np.vectorize(remap.get)(labels)
+
+        pcds = np.zeros((p, self.num_points, 3), dtype=np.float32)
+        trans = np.zeros((p, 3), dtype=np.float32)
+        quats = _random_quaternion(rng, p)
+        for part in range(p):
+            sel = pts[labels == part]
+            if len(sel) < 8:  # degenerate cell → resample from whole blob
+                sel = pts
+            take = rng.integers(0, len(sel), size=self.num_points)
+            cloud = sel[take]
+            center = cloud.mean(0)
+            trans[part] = center  # gt translation (recenter, :77-82)
+            cloud = cloud - center
+            pcds[part] = cloud @ _quat_to_matrix(quats[part]).T  # rotated input
+
+        order = rng.permutation(p)  # shuffle part order (:105)
+        x0 = np.concatenate([quats, trans], axis=-1)[order]
+        return {
+            "pcds": pcds[order],
+            "x0": x0.astype(np.float32),
+            "category": int(rng.integers(self.n_categories)),
+            "index": idx,
+            "n_parts": p,
+        }
+
+
+class GeometryPartDataset:
+    """Real Breaking-Bad loader (requires trimesh + the dataset on disk).
+
+    Mirrors breakingbad_dt.py: data_dir/<split file listing fracture dirs>,
+    each dir holding per-part .obj meshes; surface-sample num_points per part.
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        data_fn: str,
+        category: str = "",
+        num_points: int = 1000,
+        min_num_part: int = 2,
+        max_num_part: int = 20,
+        seed: int = 0,
+    ):
+        import trimesh  # noqa: F401 — required for the real dataset
+
+        self.data_dir = Path(data_dir)
+        self.num_points = num_points
+        self.min_num_part = min_num_part
+        self.max_num_part = max_num_part
+        self.seed = seed
+        lines = [ln.strip() for ln in open(self.data_dir / data_fn) if ln.strip()]
+        if category:
+            lines = [ln for ln in lines if category in ln]
+        self.folders = []
+        self.categories: list[str] = []
+        cat_set: dict[str, int] = {}
+        for ln in lines:
+            d = self.data_dir / ln
+            if not d.is_dir():
+                continue
+            meshes = sorted(d.glob("*.obj"))
+            if self.min_num_part <= len(meshes) <= self.max_num_part:
+                cat = ln.split("/")[1] if "/" in ln else "all"
+                cat_set.setdefault(cat, len(cat_set))
+                self.folders.append((d, meshes, cat_set[cat]))
+        self.category_names = list(cat_set)
+
+    def __len__(self) -> int:
+        return len(self.folders)
+
+    def __getitem__(self, idx: int) -> dict:
+        import trimesh
+
+        rng = np.random.default_rng((self.seed, idx))
+        d, meshes, cat = self.folders[idx]
+        p = len(meshes)
+        pcds = np.zeros((p, self.num_points, 3), dtype=np.float32)
+        trans = np.zeros((p, 3), dtype=np.float32)
+        quats = _random_quaternion(rng, p)
+        for i, mfile in enumerate(meshes):
+            mesh = trimesh.load(str(mfile), force="mesh")
+            samples = np.asarray(
+                trimesh.sample.sample_surface(mesh, self.num_points)[0], dtype=np.float32
+            )
+            center = samples.mean(0)
+            trans[i] = center
+            pcds[i] = (samples - center) @ _quat_to_matrix(quats[i]).T
+        order = rng.permutation(p)
+        return {
+            "pcds": pcds[order],
+            "x0": np.concatenate([quats, trans], -1)[order].astype(np.float32),
+            "category": cat,
+            "index": idx,
+            "n_parts": p,
+        }
+
+
+def collate_fragments(
+    samples: list[dict], max_num_part: int, missing_perc: int = 0,
+    rng: np.random.Generator | None = None,
+) -> FragmentBatch:
+    """Pad to (B, P_max, …) with part_valids (breakingbad_dt.py:105-111) and a
+    fully-connected adjacency over valid parts (objects_dataset.py:200-210).
+    missing_perc drops random valid parts (train_3d_missing.py behavior)."""
+    b = len(samples)
+    n_pts = samples[0]["pcds"].shape[1]
+    pcds = np.zeros((b, max_num_part, n_pts, 3), dtype=np.float32)
+    x0 = np.zeros((b, max_num_part, 7), dtype=np.float32)
+    x0[..., 0] = 1.0  # identity quats on padding
+    mask = np.zeros((b, max_num_part), dtype=bool)
+    cats = np.zeros((b,), dtype=np.int32)
+    index = np.zeros((b,), dtype=np.int32)
+    for i, s in enumerate(samples):
+        p = min(s["n_parts"], max_num_part)
+        keep = np.arange(p)
+        if missing_perc > 0 and p > 2:
+            if rng is None:
+                rng = np.random.default_rng()
+            n_drop = min(int(np.ceil(p * missing_perc / 100)), p - 2)
+            keep = np.sort(rng.permutation(p)[: p - n_drop])
+        pcds[i, : len(keep)] = s["pcds"][keep]
+        x0[i, : len(keep)] = s["x0"][keep]
+        mask[i, : len(keep)] = True
+        cats[i] = s["category"]
+        index[i] = s["index"]
+    adj = mask[:, :, None] & mask[:, None, :]
+    return FragmentBatch(pcds, x0, adj, mask, cats, index)
+
+
+def get_dataset_3d(
+    dataset: str = "breaking-bad",
+    data_dir: str | None = None,
+    category: str = "",
+    num_points: int = 1000,
+    min_num_part: int = 2,
+    max_num_part: int = 20,
+    train_n: int = 512,
+    test_n: int = 64,
+    seed: int = 0,
+):
+    """3D dataset factory (reference dataset_utils.get_dataset_3d :425-462).
+    Falls back to SyntheticFractures when the real data is absent."""
+    data_dir = data_dir or os.environ.get("BREAKING_BAD_DATA", "datasets/breaking-bad")
+    split = Path(data_dir) / "data_split"
+    if dataset == "breaking-bad" and (split / "everyday.train.txt").exists():
+        train = GeometryPartDataset(
+            data_dir, "data_split/everyday.train.txt", category,
+            num_points, min_num_part, max_num_part, seed,
+        )
+        test = GeometryPartDataset(
+            data_dir, "data_split/everyday.val.txt", category,
+            num_points, min_num_part, max_num_part, seed + 1,
+        )
+    else:
+        train = SyntheticFractures(
+            train_n, num_points, min_num_part, min(max_num_part, 8), seed=seed
+        )
+        test = SyntheticFractures(
+            test_n, num_points, min_num_part, min(max_num_part, 8), seed=seed + 1
+        )
+    return train, test, train.category_names

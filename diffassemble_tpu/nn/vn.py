@@ -1,0 +1,208 @@
+"""Vector-Neuron (VN) SO(3)-equivariant point-cloud encoder (flax.linen).
+
+Capability parity with the reference's VN-DGCNN stack
+(puzzle_diff/model/backbones/vnn/): `VNLinear`, `VNLeakyReLU`,
+`VNLinearLeakyReLU`, `VNBatchNorm`, `VNStdFeature` (vn_layers.py:14-242) and
+`VN_DGCNN` + `get_graph_feature`/`knn` (vn_dgcnn.py:6-120) — the default 3D
+backbone (`train_3d.py:175`, efficient_gat_3d.py:83-90).
+
+TPU-first differences:
+* feature layout is (..., N_points, C, 3) channels-near-last — every VN linear
+  is one einsum over C that XLA maps to the MXU, and kNN is a single (N, N)
+  Gram matmul + top_k (ops/knn.py) instead of torch gather chains;
+* the hard-coded `device='cuda'` of the reference (vn_dgcnn.py:94) obviously
+  does not exist;
+* `VNBatchNorm` (running-stats BN over vector norms) is replaced by a
+  stateless per-sample norm standardization over the point axis — same
+  "rescale each vector's magnitude, keep its direction" form, no mutable
+  state to thread through pjit;
+* the invariant head uses VNStdFeature's frame contraction properly (the
+  reference's `inv` branch overwrote it with a non-invariant Linear(3→·),
+  vn_dgcnn.py:70-72 — a defect SURVEY.md flags; we keep the invariant math).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.knn import knn_indices
+
+Dtype = Any
+_EPS = 1e-6
+
+
+class VNLinear(nn.Module):
+    """Channel-mixing linear over vector features: (..., C, 3) → (..., D, 3)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-2], self.features), jnp.float32
+        ).astype(x.dtype)
+        return jnp.einsum("...cv,cd->...dv", x, w)
+
+
+def _vn_leaky(p: jnp.ndarray, d: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    """Direction-gated leaky ReLU on vector features (vn_layers.py:36-48)."""
+    dot = jnp.sum(p * d, axis=-1, keepdims=True)
+    d_norm_sq = jnp.sum(d * d, axis=-1, keepdims=True)
+    reflected = p - (dot / (d_norm_sq + _EPS)) * d
+    gated = jnp.where(dot >= 0, p, reflected)
+    return negative_slope * p + (1 - negative_slope) * gated
+
+
+class VNLeakyReLU(nn.Module):
+    share_nonlinearity: bool = False
+    negative_slope: float = 0.2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d_feats = 1 if self.share_nonlinearity else x.shape[-2]
+        d = VNLinear(d_feats, dtype=self.dtype, name="map_to_dir")(x)
+        return _vn_leaky(x, d, self.negative_slope)
+
+
+class VNNorm(nn.Module):
+    """Stateless stand-in for VNBatchNorm (vn_layers.py:130-152): standardize
+    per-channel vector norms over the point axis (and neighbor axis if
+    present), then rescale each vector, preserving direction."""
+
+    point_axes: tuple = (-3,)
+    dtype: Dtype = jnp.float32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):  # (..., [K,] C, 3)
+        c = x.shape[-2]
+        norm = jnp.linalg.norm(x, axis=-1, keepdims=True) + _EPS  # (..., C, 1)
+        axes = tuple(a - 1 for a in self.point_axes)  # account for keepdims axis
+        mu = jnp.mean(norm, axis=axes, keepdims=True)
+        var = jnp.var(norm, axis=axes, keepdims=True)
+        std = (norm - mu) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        target = std * scale[:, None].astype(x.dtype) + bias[:, None].astype(x.dtype)
+        return x / norm * target
+
+
+class VNLinearLeakyReLU(nn.Module):
+    """Linear → norm-standardization → direction-gated LeakyReLU
+    (vn_layers.py:51-89)."""
+
+    features: int
+    share_nonlinearity: bool = False
+    negative_slope: float = 0.2
+    point_axes: tuple = (-3,)
+    use_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = VNLinear(self.features, dtype=self.dtype, name="map_to_feat")(x)
+        if self.use_norm:
+            p = VNNorm(point_axes=self.point_axes, dtype=self.dtype)(p)
+        d_feats = 1 if self.share_nonlinearity else self.features
+        d = VNLinear(d_feats, dtype=self.dtype, name="map_to_dir")(x)
+        return _vn_leaky(p, d, self.negative_slope)
+
+
+class VNStdFeature(nn.Module):
+    """Invariant head: learn a 3-frame z0 from x, contract x against it
+    (vn_layers.py:177-242). Returns (x_std, z0)."""
+
+    negative_slope: float = 0.2
+    point_axes: tuple = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (..., C, 3)
+        c = x.shape[-2]
+        use_norm = bool(self.point_axes)
+        z = VNLinearLeakyReLU(
+            c // 2, negative_slope=self.negative_slope, point_axes=self.point_axes,
+            use_norm=use_norm, dtype=self.dtype,
+        )(x)
+        z = VNLinearLeakyReLU(
+            c // 4, negative_slope=self.negative_slope, point_axes=self.point_axes,
+            use_norm=use_norm, dtype=self.dtype,
+        )(z)
+        z0 = VNLinear(3, dtype=self.dtype)(z)  # (..., 3, 3) learned frame
+        x_std = jnp.einsum("...cv,...kv->...ck", x, z0)
+        return x_std, z0
+
+
+def vn_graph_feature(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """DGCNN edge features on vector channels (vn_dgcnn.py:85-111):
+    x (B, N, C, 3) → (B, N, k, 2C, 3) of [neighbor − center ‖ center],
+    with kNN computed in the flattened 3C feature space."""
+    b, n, c, _ = x.shape
+    flat = x.reshape(b, n, c * 3)
+    idx = knn_indices(flat, k)  # (B, N, k)
+    nbrs = _gather_neighbors(x, idx)
+    center = jnp.broadcast_to(x[:, :, None], (b, n, k, c, 3))
+    return jnp.concatenate([nbrs - center, center], axis=-2)
+
+
+def _gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x (B, N, C, 3), idx (B, N, k) → (B, N, k, C, 3) via one vmapped take."""
+    import jax
+
+    return jax.vmap(lambda xb, ib: xb[ib])(x, idx)
+
+
+class VN_DGCNN(nn.Module):
+    """VN dynamic-graph CNN over one part's point cloud (vn_dgcnn.py:6-82).
+
+    Input (B, N, 3) points → equivariant (B, 2·feat_dim·3) features
+    (default feat_dim=128 → 768 dims), or invariant (B, 2·feat_dim) with
+    `invariant=True` (the reference's vn_dgcnn_inv, 256 dims).
+    """
+
+    feat_dim: int = 128
+    n_knn: int = 20
+    invariant: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pts):
+        b, n, _ = pts.shape
+        x = pts[:, :, None, :].astype(self.dtype)  # (B, N, 1, 3)
+        w = 64 // 3  # 21 channels, as the reference's 64//3
+
+        g = vn_graph_feature(x, self.n_knn)  # (B, N, k, 2, 3)
+        g = VNLinearLeakyReLU(w, point_axes=(-4, -3), dtype=self.dtype)(g)
+        g = VNLinearLeakyReLU(w, point_axes=(-4, -3), dtype=self.dtype)(g)
+        x1 = g.mean(axis=2)  # mean pool over k (pooling='mean', vn_dgcnn.py:13)
+
+        g = vn_graph_feature(x1, self.n_knn)
+        g = VNLinearLeakyReLU(w, point_axes=(-4, -3), dtype=self.dtype)(g)
+        g = VNLinearLeakyReLU(w, point_axes=(-4, -3), dtype=self.dtype)(g)
+        x2 = g.mean(axis=2)
+
+        g = vn_graph_feature(x2, self.n_knn)
+        g = VNLinearLeakyReLU(w, point_axes=(-4, -3), dtype=self.dtype)(g)
+        x3 = g.mean(axis=2)
+
+        x123 = jnp.concatenate([x1, x2, x3], axis=-2)  # (B, N, 63, 3)
+        h = VNLinearLeakyReLU(
+            self.feat_dim, share_nonlinearity=True, point_axes=(-3,), dtype=self.dtype
+        )(x123)  # (B, N, feat, 3)
+        h_mean = jnp.broadcast_to(h.mean(axis=1, keepdims=True), h.shape)
+        h = jnp.concatenate([h, h_mean], axis=-2)  # (B, N, 2·feat, 3)
+        h = h.mean(axis=1)  # global mean pool over points → (B, 2·feat, 3)
+
+        if self.invariant:
+            x_std, _ = VNStdFeature(dtype=self.dtype)(h)
+            return x_std.mean(axis=-1)  # (B, 2·feat) rotation-invariant
+        return h.reshape(b, -1)  # (B, 2·feat·3) equivariant
+
+    @property
+    def output_dim(self) -> int:
+        return 2 * self.feat_dim if self.invariant else 6 * self.feat_dim

@@ -1,0 +1,161 @@
+"""Training loop: the pl.Trainer equivalent, TPU-first.
+
+Replaces the reference's Lightning runtime (train_script.py:214-237):
+- jitted, donated train step (train_state.py) over a ('dp','tp') mesh, batch
+  sharded on dp (parallel/mesh.py) — DDP/NCCL becomes XLA collectives;
+- periodic evaluation = jitted scan-sampler + on-device assignment metrics,
+  aggregated per puzzle size (train/metrics.py);
+- orbax checkpointing with monitor/top-k semantics (train/checkpoint.py);
+- `num_sanity_val_steps`-style sanity eval before training;
+- metric logging to stdout/JSONL (wandb is egress; the JSONL sink is the
+  machine-readable equivalent).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batch import PuzzleBatch, collate_puzzles
+from ..parallel.mesh import make_mesh, shard_batch
+from .checkpoint import CheckpointManager
+from .metrics import MeanMetrics, update_puzzle_metrics
+from .train_state import TrainState, create_train_state, make_train_step
+
+
+class JsonlLogger:
+    """Minimal metric sink (stdout + JSONL file)."""
+
+    def __init__(self, run_dir: str | Path, quiet: bool = False):
+        self.path = Path(run_dir) / "metrics.jsonl"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.quiet = quiet
+
+    def log(self, step: int, payload: dict) -> None:
+        rec = {"step": int(step), "time": time.time(), **{k: _scalar(v) for k, v in payload.items()}}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if not self.quiet:
+            short = {k: (f"{v:.4f}" if isinstance(v, float) else v) for k, v in rec.items() if k != "time"}
+            print(short, flush=True)
+
+
+def _scalar(v):
+    if isinstance(v, (jnp.ndarray, np.ndarray)):
+        return float(np.asarray(v).mean())
+    return v
+
+
+def batch_iterator(
+    dataset, batch_size: int, n_max: int, rng: np.random.Generator, shuffle: bool = True
+) -> Iterable[PuzzleBatch]:
+    """Host-side loader: shuffled epochs of padded PuzzleBatches."""
+    idx = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(idx)
+    for i in range(0, len(idx) - batch_size + 1, batch_size):
+        samples = [dataset[int(j)] for j in idx[i : i + batch_size]]
+        yield collate_puzzles(samples, n_max)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        run_dir: str = "runs/default",
+        max_steps: int = 10_000,
+        batch_size: int = 8,
+        eval_every: int = 1000,
+        checkpoint_every: int = 1000,
+        accumulate: int = 1,
+        monitor: str = "overall_acc",
+        monitor_mode: str = "max",
+        sanity_eval_batches: int = 1,
+        mesh=None,
+        seed: int = 0,
+        log_quiet: bool = False,
+    ):
+        self.model = model
+        self.run_dir = Path(run_dir)
+        self.max_steps = max_steps
+        self.batch_size = batch_size
+        self.eval_every = eval_every
+        self.checkpoint_every = checkpoint_every
+        self.sanity_eval_batches = sanity_eval_batches
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.seed = seed
+        self.logger = JsonlLogger(self.run_dir, quiet=log_quiet)
+        self.ckpt = CheckpointManager(self.run_dir / "checkpoints", monitor, monitor_mode)
+        self.optimizer = model.make_optimizer()
+        self.train_step = make_train_step(model.loss, self.optimizer, accumulate)
+        self._eval_fn: Callable | None = None
+
+    # ------------------------------------------------------------------- fit
+
+    def fit(self, train_ds, eval_ds=None, state: TrainState | None = None) -> TrainState:
+        n_max = train_ds.max_nodes
+        host_rng = np.random.default_rng(self.seed)
+        first = collate_puzzles([train_ds[0]], n_max)
+
+        if state is None:
+            rng = jax.random.PRNGKey(self.seed)
+            k_init, k_state = jax.random.split(rng)
+            params = self.model.init(k_init, first)
+            state = create_train_state(params, self.optimizer, k_state)
+            restored = self.ckpt.restore(state)
+            if restored is not None:
+                state = restored
+                print(f"resumed from step {int(state.step)}", flush=True)
+        self.ckpt.save_config(self.model.cfg)
+
+        if eval_ds is not None and self.sanity_eval_batches > 0:
+            self.evaluate(state.params, eval_ds, max_batches=self.sanity_eval_batches, tag="sanity")
+
+        step = int(state.step)
+        t_last = time.time()
+        while step < self.max_steps:
+            for batch in batch_iterator(train_ds, self.batch_size, n_max, host_rng):
+                batch = shard_batch(self.mesh, PuzzleBatch(*[jnp.asarray(a) for a in batch]))
+                state, aux = self.train_step(state, batch)
+                step = int(state.step)
+                if step % 50 == 0 or step == 1:
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    self.logger.log(step, {**aux, "steps_per_s": 50 / max(dt, 1e-9)})
+                if eval_ds is not None and step % self.eval_every == 0:
+                    metrics = self.evaluate(state.params, eval_ds)
+                    self.ckpt.save(step, state, metrics)
+                elif step % self.checkpoint_every == 0:
+                    self.ckpt.save(step, state)
+                if step >= self.max_steps:
+                    break
+        self.ckpt.save(step, state)
+        return state
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate(self, params, eval_ds, max_batches: int | None = None, tag: str = "val") -> dict:
+        n_max = eval_ds.max_nodes
+        agg = MeanMetrics()
+        if self._eval_fn is None:
+            self._eval_fn = jax.jit(self.model.evaluate)
+        rng = jax.random.PRNGKey(self.seed + 1)
+        host_rng = np.random.default_rng(self.seed + 1)
+        for bi, batch in enumerate(
+            batch_iterator(eval_ds, self.batch_size, n_max, host_rng, shuffle=False)
+        ):
+            if max_batches is not None and bi >= max_batches:
+                break
+            jbatch = shard_batch(self.mesh, PuzzleBatch(*[jnp.asarray(a) for a in batch]))
+            rng, sub = jax.random.split(rng)
+            bm = self._eval_fn(params, jbatch, sub)
+            update_puzzle_metrics(agg, bm, batch.patches_dim, batch.node_mask)
+        metrics = agg.compute()
+        self.logger.log(-1, {f"{tag}/{k}": v for k, v in metrics.items()})
+        return metrics

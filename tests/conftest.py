@@ -1,17 +1,33 @@
 """Test configuration: force an 8-virtual-device CPU platform so multi-chip
 sharding paths are exercised without TPU hardware (the TPU-native analog of a
-fake distributed backend — see SURVEY.md §4)."""
+fake distributed backend — see SURVEY.md §4).
+
+The environment may carry an `axon` TPU PJRT plugin whose sitecustomize
+imports jax at interpreter start (before conftest runs), so clearing env vars
+here is too late — instead re-exec pytest once with a scrubbed environment.
+"""
 
 import os
+import sys
+
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.execvpe(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_threefry_partitionable", True)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"

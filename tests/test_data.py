@@ -1,0 +1,129 @@
+"""Data-pipeline tests: patchify roundtrip, grid convention, expander spectral
+properties, rotation targets, collation padding, 3D fracture generator."""
+
+import numpy as np
+
+from diffassemble_tpu.data.batch import collate_puzzles
+from diffassemble_tpu.data.breaking_bad import SyntheticFractures, collate_fragments
+from diffassemble_tpu.data.datasets import PuzzleDataset, SyntheticImages, get_dataset
+from diffassemble_tpu.data.expander import expander_mask, parse_degree
+from diffassemble_tpu.data.patchify import (
+    ROT_VECTORS,
+    grid_positions,
+    make_puzzle,
+    patchify,
+    unpatchify,
+)
+
+
+def test_patchify_roundtrip():
+    rng = np.random.default_rng(0)
+    img = rng.random((3 * 32, 4 * 32, 3)).astype(np.float32)
+    p = patchify(img, 3, 4, 32)
+    assert p.shape == (12, 32, 32, 3)
+    np.testing.assert_array_equal(unpatchify(p, 3, 4), img)
+
+
+def test_grid_convention():
+    """Node k = row·W + col has target (x_col, y_row) — the reference's
+    meshgrid-xy convention (puzzle_dataset.py:185-187)."""
+    g = grid_positions(2, 3)
+    assert g.shape == (6, 2)
+    np.testing.assert_allclose(g[0], [-1, -1])   # row 0, col 0
+    np.testing.assert_allclose(g[2], [1, -1])    # row 0, col 2 → x=+1
+    np.testing.assert_allclose(g[3], [-1, 1])    # row 1, col 0 → y=+1
+
+
+def test_make_puzzle_rotation():
+    rng = np.random.default_rng(1)
+    img = rng.random((64, 64, 3)).astype(np.float32)
+    s = make_puzzle(img, 2, 2, 32, rotation=True, rng=rng)
+    assert s["x0"].shape == (4, 4)
+    np.testing.assert_allclose(np.linalg.norm(s["x0"][:, 2:], axis=-1), 1.0)
+    # rotating a patch back by k should recover the original patch
+    plain = make_puzzle(img, 2, 2, 32, rotation=False)
+    for i, k in enumerate(s["rot_k"]):
+        back = np.rot90(s["patches"][i], k=-k, axes=(0, 1))
+        np.testing.assert_array_equal(back, plain["patches"][i])
+        np.testing.assert_allclose(s["x0"][i, 2:], ROT_VECTORS[k])
+
+
+def test_parse_degree_percent():
+    assert parse_degree("60%", 37) == round(0.6 * 36)
+    assert parse_degree(5, 100) == 5
+
+
+def test_expander_mask_properties():
+    rng = np.random.default_rng(2)
+    m = expander_mask(36, 8, rng)
+    assert m.shape == (36, 36)
+    assert (m == m.T).all()
+    assert m.diagonal().all()
+    deg = m.sum(1) - 1
+    assert deg.mean() >= 6  # ~d-regular (dedup may remove a few)
+
+
+def test_expander_small_fallback_dense():
+    m = expander_mask(8, 4, np.random.default_rng(3))
+    assert m.all()  # ≤10 nodes → fully connected
+
+
+def test_collate_padding():
+    rng = np.random.default_rng(4)
+    imgs = [rng.random((64, 64, 3)).astype(np.float32) for _ in range(2)]
+    samples = [make_puzzle(im, 2, 2, 32) for im in imgs]
+    samples[0]["patches_dim"] = np.array([2, 2])
+    samples[1]["patches_dim"] = np.array([2, 2])
+    b = collate_puzzles(samples, n_max=9)
+    assert b.patches.shape == (2, 9, 32, 32, 3)
+    assert b.node_mask[:, :4].all() and not b.node_mask[:, 4:].any()
+    assert not b.adj[:, 4:, :].any() and not b.adj[:, :, 4:].any()
+
+
+def test_puzzle_dataset_multi_size():
+    ds = PuzzleDataset(SyntheticImages((96, 96), n=6), [(2, 2), (3, 3)])
+    seen = set()
+    for i in range(6):
+        s = ds[i]
+        seen.add(tuple(s["patches_dim"]))
+        n = s["patches"].shape[0]
+        assert s["adj"].shape == (n, n)
+    assert len(seen) >= 1
+
+
+def test_missing_pieces():
+    ds = PuzzleDataset(SyntheticImages((96, 96), n=4), [(3, 3)], missing_perc=30)
+    s = ds[0]
+    assert s["patches"].shape[0] == 9 - int(np.ceil(9 * 0.3))
+
+
+def test_get_dataset_factory():
+    train, test, sizes = get_dataset("synthetic", puzzle_sizes=[2], train_n=4, test_n=2)
+    assert len(train) == 4 and len(test) == 2
+    assert sizes == [(2, 2)]
+    s = train[0]
+    assert s["patches"].shape == (4, 32, 32, 3)
+
+
+def test_synthetic_fractures():
+    ds = SyntheticFractures(n=4, num_points=128, min_num_part=2, max_num_part=5)
+    s = ds[0]
+    p = s["n_parts"]
+    assert 2 <= p <= 5
+    assert s["pcds"].shape == (p, 128, 3)
+    assert s["x0"].shape == (p, 7)
+    np.testing.assert_allclose(np.linalg.norm(s["x0"][:, :4], axis=-1), 1.0, atol=1e-5)
+    # parts are recentered: mean of each rotated cloud ≈ 0
+    np.testing.assert_allclose(s["pcds"].mean(1), 0.0, atol=1e-3)
+
+
+def test_collate_fragments_padding():
+    ds = SyntheticFractures(n=3, num_points=64, min_num_part=2, max_num_part=4)
+    batch = collate_fragments([ds[i] for i in range(3)], max_num_part=6)
+    assert batch.pcds.shape == (3, 6, 64, 3)
+    assert batch.x0.shape == (3, 6, 7)
+    for i in range(3):
+        nv = batch.node_mask[i].sum()
+        assert 2 <= nv <= 4
+        assert (batch.x0[i, nv:, 0] == 1.0).all()  # identity quats on padding
+    assert (batch.adj == (batch.node_mask[:, :, None] & batch.node_mask[:, None, :])).all()

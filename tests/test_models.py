@@ -1,0 +1,167 @@
+"""Integration tests for the 2D and 3D diffusion models (tiny configs), plus
+VN-DGCNN equivariance — the key properties SURVEY.md §4 calls for."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffassemble_tpu.data import PuzzleBatch, collate_puzzles, get_dataset
+from diffassemble_tpu.data.batch import FragmentBatch
+from diffassemble_tpu.data.breaking_bad import SyntheticFractures, collate_fragments
+from diffassemble_tpu.models.diffusion_2d import Diffusion2D, Diffusion2DConfig
+from diffassemble_tpu.models.diffusion_3d import Diffusion3D, Diffusion3DConfig
+
+
+def tiny_2d_batch(rotation=False, b=2, hw=(2, 2)):
+    train, _, _ = get_dataset("synthetic", puzzle_sizes=[hw[0]], train_n=b, rotation=rotation)
+    nb = collate_puzzles([train[i] for i in range(b)], n_max=hw[0] * hw[1])
+    return PuzzleBatch(*[jnp.asarray(a) for a in nb])
+
+
+def tiny_2d_model(rotation=False, **kw):
+    cfg = Diffusion2DConfig(
+        steps=10, inference_ratio=5, mean_type="xstart", rotation=rotation,
+        backbone="tiny", n_layers=2, hidden_dim=32, heads=4, **kw,
+    )
+    return Diffusion2D(cfg)
+
+
+class TestDiffusion2D:
+    def test_loss_and_grad_finite(self):
+        batch = tiny_2d_batch()
+        model = tiny_2d_model()
+        params = model.init(jax.random.PRNGKey(0), batch)
+        loss, aux = model.loss(params, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+        g = jax.grad(lambda p: model.loss(p, batch, jax.random.PRNGKey(2))[0])(params)
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+    def test_sample_shapes_and_determinism(self):
+        batch = tiny_2d_batch()
+        model = tiny_2d_model()
+        params = model.init(jax.random.PRNGKey(0), batch)
+        r1 = model.sample(params, batch, jax.random.PRNGKey(3))
+        r2 = model.sample(params, batch, jax.random.PRNGKey(3))
+        assert r1.final.shape == batch.x0.shape
+        np.testing.assert_array_equal(np.asarray(r1.final), np.asarray(r2.final))
+
+    def test_rotation_channels(self):
+        batch = tiny_2d_batch(rotation=True)
+        model = tiny_2d_model(rotation=True)
+        assert batch.x0.shape[-1] == 4
+        params = model.init(jax.random.PRNGKey(0), batch)
+        res = model.sample(params, batch, jax.random.PRNGKey(1))
+        assert res.final.shape[-1] == 4
+        m = model.metrics_from_final(res.final, batch)
+        assert m["piece_acc"].shape == (2,)
+
+    def test_perfect_prediction_gives_full_accuracy(self):
+        batch = tiny_2d_batch()
+        model = tiny_2d_model()
+        m = model.metrics_from_final(batch.x0, batch)
+        np.testing.assert_allclose(np.asarray(m["piece_acc"]), 1.0)
+        np.testing.assert_allclose(np.asarray(m["puzzle_correct"]), 1.0)
+
+    def test_classifier_free_guidance_path(self):
+        batch = tiny_2d_batch()
+        model = tiny_2d_model(classifier_free_prob=0.2, classifier_free_w=0.5)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        loss, _ = model.loss(params, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+        res = model.sample(params, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(np.asarray(res.final)).all()
+
+    def test_exophormer_architecture(self):
+        batch = tiny_2d_batch()
+        cfg = Diffusion2DConfig(
+            steps=10, inference_ratio=5, mean_type="xstart", backbone="tiny",
+            architecture="exophormer", virt_nodes=2, n_layers=2, hidden_dim=32, heads=4,
+        )
+        model = Diffusion2D(cfg)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        res = model.sample(params, batch, jax.random.PRNGKey(1))
+        assert res.final.shape == batch.x0.shape
+
+
+def tiny_3d_batch(b=2, p=4, n_pts=64):
+    ds = SyntheticFractures(n=b, num_points=n_pts, min_num_part=2, max_num_part=p)
+    nb = collate_fragments([ds[i] for i in range(b)], max_num_part=p)
+    return FragmentBatch(*[jnp.asarray(a) for a in nb])
+
+
+def tiny_3d_model(**kw):
+    cfg = Diffusion3DConfig(
+        steps=10, inference_ratio=5, backbone="pointnet", n_layers=2,
+        hidden_dim=32, heads=4, max_num_part=4, **kw,
+    )
+    return Diffusion3D(cfg)
+
+
+class TestDiffusion3D:
+    def test_loss_dict_and_grad(self):
+        batch = tiny_3d_batch()
+        model = tiny_3d_model()
+        params = model.init(jax.random.PRNGKey(0), batch)
+        loss, aux = model.loss(params, batch, jax.random.PRNGKey(1))
+        for k in ("trans_loss", "rot_loss", "transform_pt_cd_loss"):
+            assert k in aux and np.isfinite(float(aux[k]))
+        g = jax.grad(lambda p: model.loss(p, batch, jax.random.PRNGKey(2))[0])(params)
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+    def test_sample_unit_quats(self):
+        batch = tiny_3d_batch()
+        model = tiny_3d_model()
+        params = model.init(jax.random.PRNGKey(0), batch)
+        final, _ = model.sample(params, batch, jax.random.PRNGKey(1))
+        assert final.shape == (2, 4, 7)
+        norms = np.linalg.norm(np.asarray(final[..., :4]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+    def test_perfect_prediction_metrics(self):
+        batch = tiny_3d_batch()
+        model = tiny_3d_model()
+        m = model.metrics_from_final(batch.x0, batch)
+        np.testing.assert_allclose(np.asarray(m["rmse_t"]), 0.0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(m["rmse_r"]), 0.0, atol=0.5)
+        np.testing.assert_allclose(np.asarray(m["part_acc"]), 1.0)
+
+    def test_q_sample_rot_at_t0_near_identity_noise(self):
+        """At t=0, √ᾱ≈1 and ε≈0: R_t ≈ R₀ (forward chain sanity)."""
+        model = tiny_3d_model()
+        from diffassemble_tpu.ops.so3 import geodesic_distance_rmat, quaternion_to_matrix, random_quaternion
+
+        q = random_quaternion(jax.random.PRNGKey(2), (16,))
+        r0 = quaternion_to_matrix(q)
+        t = jnp.zeros((16,), dtype=jnp.int32)
+        rt = model.q_sample_rot(r0, t, jax.random.PRNGKey(3))
+        d = np.asarray(geodesic_distance_rmat(r0, rt))
+        assert d.mean() < 0.1
+
+    def test_use_6dof_head(self):
+        batch = tiny_3d_batch()
+        model = tiny_3d_model(use_6dof=True)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        loss, _ = model.loss(params, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+        final, _ = model.sample(params, batch, jax.random.PRNGKey(2))
+        assert final.shape == (2, 4, 13)
+
+
+@pytest.mark.slow
+def test_vn_dgcnn_equivariance():
+    from diffassemble_tpu.nn.vn import VN_DGCNN
+    from diffassemble_tpu.ops.so3 import quaternion_to_matrix, random_quaternion
+
+    pts = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 3))
+    enc = VN_DGCNN(feat_dim=16, n_knn=8)
+    params = enc.init(jax.random.PRNGKey(1), pts)
+    feats = enc.apply(params, pts)
+    R = quaternion_to_matrix(random_quaternion(jax.random.PRNGKey(2)))
+    feats_rot = enc.apply(params, pts @ R.T)
+    expected = feats.reshape(2, -1, 3) @ R.T
+    np.testing.assert_allclose(
+        np.asarray(feats_rot.reshape(2, -1, 3)), np.asarray(expected), atol=1e-3
+    )
