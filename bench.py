@@ -28,8 +28,10 @@ def main() -> None:
     from diffassemble_tpu.data.expander import expander_mask
     from diffassemble_tpu.models.diffusion_2d import Diffusion2D, Diffusion2DConfig
 
+    import os
+
     HW = (30, 30)
-    BATCH = 4
+    BATCH = int(os.environ.get("BENCH_BATCH", "2"))
     N = HW[0] * HW[1]
 
     cfg = Diffusion2DConfig(

@@ -1,0 +1,131 @@
+"""3D Breaking-Bad train/eval CLI — the `train_3d.py` equivalent (reference
+puzzle_diff/train_3d.py:40-223): SE(3) double-diffusion pipeline with
+per-category metrics and the rmse_t_AVG checkpoint monitor (:126-128).
+
+Usage:
+    python -m diffassemble_tpu.cli.train_3d --backbone vn_dgcnn
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def add_3d_args(ap: argparse.ArgumentParser) -> None:
+    """Flag surface of reference train_3d.py:158-189."""
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--gpus", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--dataset", default="breaking-bad", choices=["breaking-bad", "synthetic"])
+    ap.add_argument("--sampling", default="DDIM", choices=["DDPM", "DDIM"])
+    ap.add_argument("--inference_ratio", type=int, default=10)
+    ap.add_argument("--n_layers", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--classifier_free_w", type=float, default=0.2)
+    ap.add_argument("--classifier_free_prob", type=float, default=0.0)
+    ap.add_argument("--checkpoint_path", type=str, default="")
+    ap.add_argument("--run_dir", type=str, default="")
+    ap.add_argument("--noise_weight", type=float, default=0.0)
+    ap.add_argument("--predict_xstart", type=bool, default=True)
+    ap.add_argument("--backbone", type=str, default="vn_dgcnn")
+    ap.add_argument("--architecture", type=str, default="transformer")
+    ap.add_argument("--freeze_backbone", type=bool, default=False)
+    ap.add_argument("--loss_type", type=str, default="all")
+    ap.add_argument("--category", type=str, default="")
+    ap.add_argument("--evaluate", type=bool, default=False)
+    ap.add_argument("--max_steps", type=int, default=100_000)
+    ap.add_argument("--max_num_part", type=int, default=20)
+    ap.add_argument("--min_num_part", type=int, default=2)
+    ap.add_argument("--use_6dof_rot", action="store_true", default=False)
+    ap.add_argument("--missing", type=int, default=0)
+    ap.add_argument("--num_iter", type=int, default=1)
+    ap.add_argument("--compute_dtype", type=str, default="bfloat16")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--data_dir", type=str, default=None)
+
+
+def build_3d(args):
+    from ..data.breaking_bad import get_dataset_3d
+    from ..models.diffusion_3d import Diffusion3D, Diffusion3DConfig
+
+    cfg = Diffusion3DConfig(
+        steps=args.steps,
+        sampling=args.sampling.lower(),
+        inference_ratio=args.inference_ratio,
+        mean_type="xstart" if args.predict_xstart else "epsilon",
+        noise_weight=args.noise_weight,
+        loss_type=args.loss_type,
+        backbone=args.backbone,
+        architecture=args.architecture,
+        n_layers=args.n_layers,
+        max_num_part=args.max_num_part,
+        use_6dof=bool(args.use_6dof_rot),
+        freeze_backbone=bool(args.freeze_backbone),
+        compute_dtype=args.compute_dtype,
+    )
+    model = Diffusion3D(cfg)
+    train_ds, test_ds, cats = get_dataset_3d(
+        args.dataset if args.dataset != "synthetic" else "synthetic",
+        data_dir=args.data_dir,
+        category=args.category,
+        min_num_part=args.min_num_part,
+        max_num_part=args.max_num_part,
+        seed=args.seed,
+    )
+    return model, train_ds, test_ds, cats
+
+
+def run_3d(args, missing: int = 0) -> None:
+    import numpy as np
+
+    from ..parallel.mesh import make_mesh
+    from ..train.trainer import Trainer, fragment_adapter
+
+    model, train_ds, test_ds, cats = build_3d(args)
+    run_dir = args.run_dir or f"runs/3d-{args.dataset}-{args.backbone}"
+    import jax
+
+    mesh = make_mesh(min(args.gpus, len(jax.devices())), tp=1)
+    trainer = Trainer(
+        model,
+        run_dir=run_dir,
+        max_steps=args.max_steps,
+        batch_size=args.batch_size,
+        mesh=mesh,
+        seed=args.seed,
+        monitor="rmse_t_AVG",
+        monitor_mode="min",
+        adapter=fragment_adapter(args.max_num_part, cats),
+    )
+    if args.evaluate:
+        from ..train.train_state import create_train_state
+
+        first = trainer.adapter.collate([test_ds[0]], args.max_num_part)
+        params = model.init(jax.random.PRNGKey(args.seed), first)
+        state = create_train_state(params, trainer.optimizer, jax.random.PRNGKey(0))
+        restored = trainer.ckpt.restore(state)
+        if restored is not None:
+            params = restored.params
+        # --num_iter repeated test with mean/std aggregation
+        # (reference train_3d_missing.py:147-164)
+        runs = []
+        for it in range(args.num_iter):
+            m = trainer.evaluate(params, test_ds, tag=f"test_{it}")
+            runs.append(m)
+        keys = runs[0].keys()
+        agg = {k: (float(np.mean([r[k] for r in runs])), float(np.std([r[k] for r in runs]))) for k in keys}
+        print({k: f"{m:.4f}±{s:.4f}" for k, (m, s) in agg.items()})
+        return
+    trainer.fit(train_ds, test_ds)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_3d_args(ap)
+    args = ap.parse_args()
+    print(args)
+    run_3d(args)
+
+
+if __name__ == "__main__":
+    main()

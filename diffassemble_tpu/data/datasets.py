@@ -105,6 +105,7 @@ class PuzzleDataset:
         unique_graph: bool = False,
         missing_perc: int = 0,
         inference_full: bool = False,
+        padding: int = 0,
         seed: int = 0,
     ):
         self.images = images
@@ -115,6 +116,7 @@ class PuzzleDataset:
         self.unique_graph = unique_graph
         self.missing_perc = missing_perc
         self.inference_full = inference_full
+        self.padding = padding
         self.seed = seed
 
     def __len__(self) -> int:
@@ -132,6 +134,15 @@ class PuzzleDataset:
         if img.shape[:2] != want:
             img = _resize(img, want)
         sample = make_puzzle(img, ph, pw, self.patch_size, rotation=self.rotation, rng=rng)
+        if self.padding > 0:
+            # eroded pieces: zero an n-pixel border of every patch — the
+            # Puzzle_Dataset_Pad mode (reference puzzle_dataset.py:303-380,
+            # without its `self.trans/forms` typo at :346-348)
+            pz = self.padding
+            sample["patches"][:, :pz, :, :] = 0
+            sample["patches"][:, -pz:, :, :] = 0
+            sample["patches"][:, :, :pz, :] = 0
+            sample["patches"][:, :, -pz:, :] = 0
         n = ph * pw
 
         if self.missing_perc > 0:
@@ -176,6 +187,7 @@ def get_dataset(
     rotation: bool = False,
     degree: int | str = -1,
     missing_perc: int = 0,
+    padding: int = 0,
     inf_fully: bool = True,
     data_root: str | None = None,
     train_n: int = 2000,
@@ -210,7 +222,8 @@ def get_dataset(
 
     mk = lambda imgs, split_seed, inf: PuzzleDataset(
         imgs, sizes, patch_size, rotation=rotation, degree=degree,
-        missing_perc=missing_perc, inference_full=inf, seed=seed + split_seed,
+        missing_perc=missing_perc, inference_full=inf, padding=padding,
+        seed=seed + split_seed,
     )
     train = mk(image_source("train", train_n, 0), 0, False)
     test = mk(image_source("test", test_n, 1), 1, inf_fully)

@@ -28,6 +28,7 @@ def masked_attention(
     v: jnp.ndarray,
     adj: jnp.ndarray,
     return_weights: bool = False,
+    impl: str = "auto",
 ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
     """Multi-head attention restricted to graph edges.
 
@@ -37,10 +38,22 @@ def masked_attention(
              (edge j→i in message-passing terms).
         return_weights: also return the (B, H, N, N) attention weights (the
              reference returns per-edge attentions for viz).
+        impl: "xla" | "pallas" | "auto" — auto picks the fused Pallas kernel
+             on TPU for N ≥ 256 (ops/pallas_attention.py); weight returns and
+             small graphs stay on the XLA path.
 
     Returns:
         (B, N, H, Dh) attended values; rows with no edges at all return zeros.
     """
+    n = q.shape[1]
+    if not return_weights and impl != "xla":
+        use_pallas = impl == "pallas"
+        if impl == "auto":
+            from .pallas_attention import pallas_available
+
+            use_pallas = n >= 256 and pallas_available()
+        if use_pallas:
+            return _pallas_masked_attention(q, k, v, adj)
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))
     scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
@@ -54,6 +67,28 @@ def masked_attention(
     if return_weights:
         return out, weights
     return out
+
+
+def _pallas_masked_attention(q, k, v, adj):
+    """Route (B, N, H, Dh) layout through the fused kernel, padding N to the
+    128-row block size (padding rows are fully masked → zeros)."""
+    from .pallas_attention import flash_masked_attention
+
+    b, n, h, dh = q.shape
+    block_q = 128
+    n_pad = (n + block_q - 1) // block_q * block_q
+    pad = n_pad - n
+
+    def to_bhnd(x):
+        x = jnp.swapaxes(x, 1, 2)  # (B, H, N, Dh)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return x
+
+    adj_p = jnp.pad(adj, ((0, 0), (0, pad), (0, pad))) if pad else adj
+    out = flash_masked_attention(to_bhnd(q), to_bhnd(k), to_bhnd(v), adj_p, block_q)
+    out = out[:, :, :n, :]
+    return jnp.swapaxes(out, 1, 2)
 
 
 def build_adjacency_mask(

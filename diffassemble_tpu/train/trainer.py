@@ -1,18 +1,23 @@
 """Training loop: the pl.Trainer equivalent, TPU-first.
 
-Replaces the reference's Lightning runtime (train_script.py:214-237):
+Replaces the reference's Lightning runtime (train_script.py:214-237,
+train_3d.py:130-139):
 - jitted, donated train step (train_state.py) over a ('dp','tp') mesh, batch
   sharded on dp (parallel/mesh.py) — DDP/NCCL becomes XLA collectives;
-- periodic evaluation = jitted scan-sampler + on-device assignment metrics,
-  aggregated per puzzle size (train/metrics.py);
+- periodic evaluation = jitted scan-sampler + on-device metrics, aggregated
+  per puzzle size / category (train/metrics.py);
 - orbax checkpointing with monitor/top-k semantics (train/checkpoint.py);
-- `num_sanity_val_steps`-style sanity eval before training;
-- metric logging to stdout/JSONL (wandb is egress; the JSONL sink is the
-  machine-readable equivalent).
+- `num_sanity_val_steps`-style sanity eval before training
+  (train_script.py:221);
+- metric logging to stdout/JSONL (the machine-readable wandb replacement).
+
+One Trainer class serves both 2D puzzles and 3D fragments via a small
+TaskAdapter strategy (collation, batch type, metric folding).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 from pathlib import Path
@@ -22,10 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.batch import PuzzleBatch, collate_puzzles
+from ..data.batch import FragmentBatch, PuzzleBatch, collate_puzzles
 from ..parallel.mesh import make_mesh, shard_batch
 from .checkpoint import CheckpointManager
-from .metrics import MeanMetrics, update_puzzle_metrics
+from .metrics import MeanMetrics, update_fragment_metrics, update_puzzle_metrics
 from .train_state import TrainState, create_train_state, make_train_step
 
 
@@ -53,15 +58,54 @@ def _scalar(v):
 
 
 def batch_iterator(
-    dataset, batch_size: int, n_max: int, rng: np.random.Generator, shuffle: bool = True
-) -> Iterable[PuzzleBatch]:
-    """Host-side loader: shuffled epochs of padded PuzzleBatches."""
+    dataset,
+    batch_size: int,
+    n_max: int,
+    rng: np.random.Generator,
+    shuffle: bool = True,
+    collate=collate_puzzles,
+) -> Iterable[Any]:
+    """Host-side loader: shuffled epochs of padded batches."""
     idx = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(idx)
     for i in range(0, len(idx) - batch_size + 1, batch_size):
         samples = [dataset[int(j)] for j in idx[i : i + batch_size]]
-        yield collate_puzzles(samples, n_max)
+        yield collate(samples, n_max)
+
+
+@dataclasses.dataclass
+class TaskAdapter:
+    """Task-specific hooks: how to collate, wrap, and fold metrics."""
+
+    collate: Callable[[list, int], Any]
+    batch_cls: type
+    max_nodes: Callable[[Any], int]
+    fold_metrics: Callable[[MeanMetrics, dict, Any], None]
+
+
+def puzzle_adapter() -> TaskAdapter:
+    return TaskAdapter(
+        collate=collate_puzzles,
+        batch_cls=PuzzleBatch,
+        max_nodes=lambda ds: ds.max_nodes,
+        fold_metrics=lambda agg, bm, nb: update_puzzle_metrics(
+            agg, bm, nb.patches_dim, nb.node_mask
+        ),
+    )
+
+
+def fragment_adapter(max_num_part: int, category_names: list[str]) -> TaskAdapter:
+    from ..data.breaking_bad import collate_fragments
+
+    return TaskAdapter(
+        collate=lambda samples, n_max: collate_fragments(samples, n_max),
+        batch_cls=FragmentBatch,
+        max_nodes=lambda ds: max_num_part,
+        fold_metrics=lambda agg, bm, nb: update_fragment_metrics(
+            agg, bm, nb.category, category_names
+        ),
+    )
 
 
 class Trainer:
@@ -80,6 +124,7 @@ class Trainer:
         mesh=None,
         seed: int = 0,
         log_quiet: bool = False,
+        adapter: TaskAdapter | None = None,
     ):
         self.model = model
         self.run_dir = Path(run_dir)
@@ -90,18 +135,23 @@ class Trainer:
         self.sanity_eval_batches = sanity_eval_batches
         self.mesh = mesh if mesh is not None else make_mesh()
         self.seed = seed
+        self.adapter = adapter or puzzle_adapter()
         self.logger = JsonlLogger(self.run_dir, quiet=log_quiet)
         self.ckpt = CheckpointManager(self.run_dir / "checkpoints", monitor, monitor_mode)
         self.optimizer = model.make_optimizer()
         self.train_step = make_train_step(model.loss, self.optimizer, accumulate)
         self._eval_fn: Callable | None = None
 
+    def _device_batch(self, np_batch):
+        jb = self.adapter.batch_cls(*[jnp.asarray(a) for a in np_batch])
+        return shard_batch(self.mesh, jb)
+
     # ------------------------------------------------------------------- fit
 
     def fit(self, train_ds, eval_ds=None, state: TrainState | None = None) -> TrainState:
-        n_max = train_ds.max_nodes
+        n_max = self.adapter.max_nodes(train_ds)
         host_rng = np.random.default_rng(self.seed)
-        first = collate_puzzles([train_ds[0]], n_max)
+        first = self.adapter.collate([train_ds[0]], n_max)
 
         if state is None:
             rng = jax.random.PRNGKey(self.seed)
@@ -120,9 +170,10 @@ class Trainer:
         step = int(state.step)
         t_last = time.time()
         while step < self.max_steps:
-            for batch in batch_iterator(train_ds, self.batch_size, n_max, host_rng):
-                batch = shard_batch(self.mesh, PuzzleBatch(*[jnp.asarray(a) for a in batch]))
-                state, aux = self.train_step(state, batch)
+            for nb in batch_iterator(
+                train_ds, self.batch_size, n_max, host_rng, collate=self.adapter.collate
+            ):
+                state, aux = self.train_step(state, self._device_batch(nb))
                 step = int(state.step)
                 if step % 50 == 0 or step == 1:
                     dt = time.time() - t_last
@@ -141,21 +192,23 @@ class Trainer:
     # ------------------------------------------------------------------ eval
 
     def evaluate(self, params, eval_ds, max_batches: int | None = None, tag: str = "val") -> dict:
-        n_max = eval_ds.max_nodes
+        n_max = self.adapter.max_nodes(eval_ds)
         agg = MeanMetrics()
         if self._eval_fn is None:
             self._eval_fn = jax.jit(self.model.evaluate)
         rng = jax.random.PRNGKey(self.seed + 1)
         host_rng = np.random.default_rng(self.seed + 1)
-        for bi, batch in enumerate(
-            batch_iterator(eval_ds, self.batch_size, n_max, host_rng, shuffle=False)
+        for bi, nb in enumerate(
+            batch_iterator(
+                eval_ds, self.batch_size, n_max, host_rng, shuffle=False,
+                collate=self.adapter.collate,
+            )
         ):
             if max_batches is not None and bi >= max_batches:
                 break
-            jbatch = shard_batch(self.mesh, PuzzleBatch(*[jnp.asarray(a) for a in batch]))
             rng, sub = jax.random.split(rng)
-            bm = self._eval_fn(params, jbatch, sub)
-            update_puzzle_metrics(agg, bm, batch.patches_dim, batch.node_mask)
+            bm = self._eval_fn(params, self._device_batch(nb), sub)
+            self.adapter.fold_metrics(agg, bm, nb)
         metrics = agg.compute()
         self.logger.log(-1, {f"{tag}/{k}": v for k, v in metrics.items()})
         return metrics
