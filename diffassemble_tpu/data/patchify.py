@@ -71,14 +71,25 @@ def make_puzzle(
         grid:    (N, 2) anchor grid (= x0[:, :2])
         rot_k:   (N,) int — applied k·90° rotation (zeros if not rotation)
     """
-    patches = patchify(img, patch_h, patch_w, patch_size)
+    try:  # native fast path (diffassemble_tpu/native/dataprep.cc)
+        from .. import native as _native
+
+        _use_native = _native.native_available()
+    except Exception:
+        _use_native = False
+    if _use_native:
+        patches = _native.patchify(np.ascontiguousarray(img, np.float32), patch_h, patch_w, patch_size)
+    else:
+        patches = patchify(img, patch_h, patch_w, patch_size)
     grid = grid_positions(patch_h, patch_w)
     n = patches.shape[0]
     if rotation:
         if rng is None:
             rng = np.random.default_rng()
         rot_k = rng.integers(0, 4, size=n)
-        patches = rotate_patches(patches, rot_k)
+        patches = (
+            _native.rotate_patches(patches, rot_k) if _use_native else rotate_patches(patches, rot_k)
+        )
         x0 = np.concatenate([grid, ROT_VECTORS[rot_k]], axis=-1)
     else:
         rot_k = np.zeros(n, dtype=np.int64)

@@ -45,24 +45,29 @@ _NEG_INF = -1e9
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
-    """One (batch, head, q-block) program: fused scores→mask→softmax→values."""
+    """One (batch, head, q-block) program: fused scores→mask→softmax→values.
+
+    The mask is consumed as float arithmetic (mf·s + (1−mf)·(−inf)) rather
+    than bool `where`s — Mosaic's i1 vector relayout rejects (BQ, N) bool
+    tiles ("Invalid relayout … vector<…xi1>"), float masking lowers cleanly
+    and fuses into the VPU pass anyway.
+    """
     q = q_ref[0, 0]          # (BQ, Dh)
     k = k_ref[0, 0]          # (N, Dh)
     v = v_ref[0, 0]          # (N, Dh)
-    m = mask_ref[0]          # (BQ, N) int8/bool
+    mf = mask_ref[0].astype(jnp.float32)  # (BQ, N) 0/1
 
     dh = q.shape[-1]
     scale = 1.0 / (dh ** 0.5)
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (BQ, N)
-    edge = m != 0
-    scores = jnp.where(edge, scores, _NEG_INF)
+    scores = scores * mf + (1.0 - mf) * _NEG_INF
     smax = jnp.max(scores, axis=-1, keepdims=True)
-    unnorm = jnp.exp(scores - smax)
+    unnorm = jnp.exp(scores - smax) * mf
     denom = jnp.sum(unnorm, axis=-1, keepdims=True)
-    any_edge = jnp.any(edge, axis=-1, keepdims=True)
-    probs = jnp.where(any_edge, unnorm / jnp.maximum(denom, 1e-30), 0.0)
+    # rows with no edges: denom == 0 → probs 0 (matching the XLA path)
+    probs = unnorm / jnp.maximum(denom, 1e-30)
     o_ref[0, 0] = jnp.dot(
         probs.astype(v.dtype), v, preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)

@@ -1,6 +1,7 @@
 """Device mesh + sharding helpers (DP over ICI, optional TP over heads)."""
 
 from .mesh import (  # noqa: F401
+    auto_mesh,
     batch_sharding,
     make_mesh,
     param_sharding_rules,

@@ -34,6 +34,18 @@ def make_mesh(
     return Mesh(arr, ("dp", "tp"))
 
 
+def auto_mesh(batch_size: int, tp: int = 1) -> Mesh:
+    """Mesh whose dp axis is the largest divisor of batch_size that fits the
+    available devices — keeps batch sharding valid for any batch size."""
+    n = len(jax.devices()) // tp
+    dp = 1
+    for d in range(min(batch_size, n), 0, -1):
+        if batch_size % d == 0:
+            dp = d
+            break
+    return make_mesh(dp * tp, dp=dp, tp=tp)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard leading (batch) axis over dp, replicate the rest."""
     return NamedSharding(mesh, P("dp"))

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.batch import FragmentBatch, PuzzleBatch, collate_puzzles
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import auto_mesh, make_mesh, shard_batch
 from .checkpoint import CheckpointManager
 from .metrics import MeanMetrics, update_fragment_metrics, update_puzzle_metrics
 from .train_state import TrainState, create_train_state, make_train_step
@@ -133,7 +133,7 @@ class Trainer:
         self.eval_every = eval_every
         self.checkpoint_every = checkpoint_every
         self.sanity_eval_batches = sanity_eval_batches
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = mesh if mesh is not None else auto_mesh(batch_size)
         self.seed = seed
         self.adapter = adapter or puzzle_adapter()
         self.logger = JsonlLogger(self.run_dir, quiet=log_quiet)

@@ -1,0 +1,74 @@
+"""Pallas fused masked-attention kernel vs XLA reference (interpret mode on
+CPU; the same kernel compiles with Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffassemble_tpu.ops.attention import masked_attention
+from diffassemble_tpu.ops.pallas_attention import _xla_reference, flash_masked_attention
+
+
+def _rand(b=2, h=3, n=256, dh=32, seed=0, density=0.3):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    q = jax.random.normal(ks[0], (b, h, n, dh))
+    k = jax.random.normal(ks[1], (b, h, n, dh))
+    v = jax.random.normal(ks[2], (b, h, n, dh))
+    mask = jax.random.uniform(ks[3], (b, n, n)) < density
+    return q, k, v, mask
+
+
+def test_kernel_matches_reference():
+    q, k, v, mask = _rand()
+    out = flash_masked_attention(q, k, v, mask, 128, True)
+    ref = _xla_reference(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_kernel_padding_rows_zero():
+    q, k, v, mask = _rand()
+    mask = mask.at[:, -30:, :].set(False)
+    out = np.asarray(flash_masked_attention(q, k, v, mask, 128, True))
+    assert np.all(out[:, :, -30:, :] == 0.0)
+
+
+def test_kernel_gradients_match():
+    q, k, v, mask = _rand(n=128)
+
+    def lp(q, k, v):
+        return jnp.sum(flash_masked_attention(q, k, v, mask, 128, True) ** 2)
+
+    def lr(q, k, v):
+        return jnp.sum(_xla_reference(q, k, v, mask) ** 2)
+
+    g1 = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_wrapper_pads_odd_n():
+    """The (B, N, H, Dh) wrapper must pad N=200 to a block multiple and match
+    the XLA path."""
+    b, n, h, dh = 2, 200, 2, 16
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = jax.random.normal(ks[0], (b, n, h, dh))
+    k = jax.random.normal(ks[1], (b, n, h, dh))
+    v = jax.random.normal(ks[2], (b, n, h, dh))
+    adj = jax.random.uniform(ks[3], (b, n, n)) < 0.4
+    ref = masked_attention(q, k, v, adj, impl="xla")
+    from diffassemble_tpu.ops import attention as attn_mod
+    import diffassemble_tpu.ops.pallas_attention as pa
+
+    orig = pa.flash_masked_attention
+    # force interpret mode through the wrapper
+    def fake(qq, kk, vv, mm, bq=128, interpret=False):
+        return orig(qq, kk, vv, mm, bq, True)
+
+    pa_flash = pa.flash_masked_attention
+    try:
+        pa.flash_masked_attention = fake
+        out = attn_mod._pallas_masked_attention(q, k, v, adj)
+    finally:
+        pa.flash_masked_attention = pa_flash
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

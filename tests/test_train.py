@@ -1,0 +1,148 @@
+"""Trainer integration: overfit-one-batch sanity (the reference's overfit hook
+idea, SURVEY.md §4), checkpoint save/restore roundtrip, grad accumulation,
+angle variant, text datasets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffassemble_tpu.data import PuzzleBatch, collate_puzzles, get_dataset
+from diffassemble_tpu.models.diffusion_2d import Diffusion2D, Diffusion2DConfig
+from diffassemble_tpu.train.train_state import create_train_state, make_train_step
+
+
+def _tiny(steps=10, **kw):
+    cfg = Diffusion2DConfig(
+        steps=steps, inference_ratio=5, mean_type="xstart", backbone="tiny",
+        n_layers=2, hidden_dim=32, heads=4, **kw,
+    )
+    return Diffusion2D(cfg)
+
+
+def _batch(b=2, hw=2, rotation=False):
+    train, _, _ = get_dataset("synthetic", puzzle_sizes=[hw], train_n=b, rotation=rotation)
+    nb = collate_puzzles([train[i] for i in range(b)], n_max=hw * hw)
+    return PuzzleBatch(*[jnp.asarray(a) for a in nb])
+
+
+@pytest.mark.slow
+def test_overfit_single_batch_loss_decreases():
+    """120 adafactor steps on one tiny batch must cut the loss substantially."""
+    model = _tiny()
+    batch = _batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    opt = model.make_optimizer()
+    state = create_train_state(params, opt, jax.random.PRNGKey(1))
+    step = make_train_step(model.loss, opt)
+    losses = []
+    for i in range(120):
+        state, aux = step(state, batch)
+        losses.append(float(aux["loss"]))
+    first = np.mean(losses[:10])
+    last = np.mean(losses[-10:])
+    assert last < 0.5 * first, f"no learning: first={first:.4f} last={last:.4f}"
+
+
+def test_grad_accumulation_matches_full_batch_direction():
+    model = _tiny()
+    batch = _batch(b=4)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    opt = model.make_optimizer()
+    s1 = create_train_state(params, opt, jax.random.PRNGKey(1))
+    step_acc = make_train_step(model.loss, opt, accumulate=2)
+    s1b, aux = step_acc(s1, batch)
+    assert np.isfinite(float(aux["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from diffassemble_tpu.train.checkpoint import CheckpointManager
+
+    model = _tiny()
+    batch = _batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    opt = model.make_optimizer()
+    state = create_train_state(params, opt, jax.random.PRNGKey(1))
+    mgr = CheckpointManager(str(tmp_path / "ck"), monitor="overall_acc")
+    mgr.save_config(model.cfg)
+    mgr.save(1, state, {"overall_acc": 0.5})
+    mgr.save(2, state._replace(step=jnp.asarray(2, jnp.int32)), {"overall_acc": 0.9})
+    assert mgr.latest_step() == 2
+    restored = mgr.restore(state)
+    assert int(restored.step) == 2
+    cfg = mgr.load_config()
+    assert cfg["steps"] == model.cfg.steps
+    # params identical
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_fit_smoke(tmp_path):
+    from diffassemble_tpu.train.trainer import Trainer
+
+    model = _tiny()
+    train_ds, test_ds, _ = get_dataset("synthetic", puzzle_sizes=[2], train_n=4, test_n=2)
+    trainer = Trainer(
+        model, run_dir=str(tmp_path / "run"), max_steps=3, batch_size=2,
+        eval_every=100, checkpoint_every=100, sanity_eval_batches=0, log_quiet=True,
+    )
+    state = trainer.fit(train_ds, test_ds)
+    assert int(state.step) == 3
+    metrics = trainer.evaluate(state.params, test_ds, max_batches=1)
+    assert "overall_acc" in metrics
+
+
+def test_angle_variant():
+    from diffassemble_tpu.models.diffusion_2d_angle import (
+        AngleDiffusion2D,
+        AngleDiffusion2DConfig,
+    )
+
+    cfg = AngleDiffusion2DConfig(
+        steps=10, inference_ratio=5, mean_type="xstart", backbone="tiny",
+        n_layers=2, hidden_dim=32, heads=4,
+    )
+    model = AngleDiffusion2D(cfg)
+    batch = _batch(rotation=True)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    loss, _ = model.loss(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    res = model.sample(params, batch, jax.random.PRNGKey(2))
+    assert res.final.shape == (2, 4, 4)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(res.final[..., 2:]), axis=-1), 1.0, atol=1e-4
+    )
+
+
+def test_text_datasets():
+    from diffassemble_tpu.data.text import collate_sequences, get_dataset_text
+
+    train, test = get_dataset_text()
+    s = train[0]
+    n = len(s["features"])
+    assert s["x0"].shape == (n, 1)
+    batch = collate_sequences([train[0], train[1]], n_max=train.max_nodes)
+    assert batch.features.shape[0] == 2
+    assert batch.node_mask[:, 0].all()
+
+
+def test_3d_trainer_adapter(tmp_path):
+    from diffassemble_tpu.data.breaking_bad import SyntheticFractures
+    from diffassemble_tpu.models.diffusion_3d import Diffusion3D, Diffusion3DConfig
+    from diffassemble_tpu.train.trainer import Trainer, fragment_adapter
+
+    cfg = Diffusion3DConfig(
+        steps=8, inference_ratio=4, backbone="pointnet", n_layers=2,
+        hidden_dim=32, heads=4, max_num_part=4,
+    )
+    model = Diffusion3D(cfg)
+    ds = SyntheticFractures(n=4, num_points=32, min_num_part=2, max_num_part=4)
+    trainer = Trainer(
+        model, run_dir=str(tmp_path / "run3d"), max_steps=2, batch_size=2,
+        sanity_eval_batches=0, monitor="rmse_t_AVG", monitor_mode="min",
+        adapter=fragment_adapter(4, ds.category_names), log_quiet=True,
+    )
+    state = trainer.fit(ds, None)
+    assert int(state.step) == 2
+    metrics = trainer.evaluate(state.params, ds, max_batches=1)
+    assert "rmse_t_AVG" in metrics and "part_acc_AVG" in metrics
