@@ -58,6 +58,7 @@ class Diffusion2DConfig:
     all_equivariant: bool = False
     learning_rate: float = 1e-4
     compute_dtype: str = "float32"
+    attention_impl: str = "auto"  # xla | pallas | auto
 
     @property
     def input_channels(self) -> int:
@@ -86,6 +87,7 @@ class Diffusion2D:
             virt_nodes=config.virt_nodes,
             hidden_dim=config.hidden_dim,
             heads=config.heads,
+            attention_impl=config.attention_impl,
             dtype=config.dtype,
         )
 

@@ -155,6 +155,7 @@ class DiscreteDiffusion2D(Diffusion2D):
             discrete=True,
             n_classes=config.n_classes,
             rot_classes=4 if config.rotation else 0,
+            attention_impl=config.attention_impl,
             dtype=config.dtype,
         )
 

@@ -68,6 +68,7 @@ class Diffusion3DConfig:
     diffuse_translation: bool = True  # False → rotation-only legacy variant
     learning_rate: float = 1e-4
     compute_dtype: str = "float32"
+    attention_impl: str = "auto"  # xla | pallas | auto
 
     @property
     def dtype(self):
@@ -89,6 +90,7 @@ class Diffusion3D:
             hidden_dim=config.hidden_dim,
             heads=config.heads,
             use_6dof=config.use_6dof,
+            attention_impl=config.attention_impl,
             dtype=config.dtype,
         )
         # IGSO3 inverse-CDF table for eps_t = sqrt(1-ᾱ_t), one row per step

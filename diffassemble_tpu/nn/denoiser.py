@@ -69,6 +69,7 @@ class GraphDenoiser2D(nn.Module):
     discrete: bool = False
     n_classes: int = 0  # K grid cells (discrete mode)
     rot_classes: int = 0  # 4 for the discrete-rotation head
+    attention_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -100,6 +101,7 @@ class GraphDenoiser2D(nn.Module):
             heads=self.heads,
             virt_nodes=self.virt_nodes,
             dtype=self.dtype,
+            attention_impl=self.attention_impl,
         )
         h, attentions = gnn(combined, adj, node_mask, return_weights=return_attentions)
 
@@ -145,6 +147,7 @@ class GraphDenoiser3D(nn.Module):
     hidden_dim: int = 256
     heads: int = 8
     use_6dof: bool = False
+    attention_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -166,6 +169,7 @@ class GraphDenoiser3D(nn.Module):
             heads=self.heads,
             virt_nodes=self.virt_nodes,
             dtype=self.dtype,
+            attention_impl=self.attention_impl,
         )
         h, attentions = gnn(combined, adj, node_mask, return_weights=return_attentions)
         resid = h + combined

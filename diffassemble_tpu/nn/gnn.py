@@ -32,6 +32,7 @@ class TransformerConvLayer(nn.Module):
     out_channels: int
     heads: int = 8
     dtype: Dtype = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, adj, return_weights: bool = False):
@@ -45,7 +46,7 @@ class TransformerConvLayer(nn.Module):
         if return_weights:
             out, w = masked_attention(q, k, v, adj, return_weights=True)
         else:
-            out, w = masked_attention(q, k, v, adj), None
+            out, w = masked_attention(q, k, v, adj, impl=self.attention_impl), None
         out = skip + out.reshape(b, n, self.out_channels)
         return (out, w) if return_weights else out
 
@@ -59,17 +60,20 @@ class GraphTransformer(nn.Module):
     output_size: int = 256
     n_layers: int = 4
     dtype: Dtype = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, adj, node_mask, return_weights: bool = False):
         del node_mask  # validity already folded into adj
         for i in range(self.n_layers - 1):
             x = TransformerConvLayer(
-                self.hidden_dim, self.heads, dtype=self.dtype, name=f"layer_{i}"
+                self.hidden_dim, self.heads, dtype=self.dtype,
+                attention_impl=self.attention_impl, name=f"layer_{i}"
             )(x, adj)
             x = nn.gelu(x)
         out = TransformerConvLayer(
-            self.output_size, self.heads, dtype=self.dtype, name=f"layer_{self.n_layers - 1}"
+            self.output_size, self.heads, dtype=self.dtype,
+            attention_impl=self.attention_impl, name=f"layer_{self.n_layers - 1}"
         )(x, adj, return_weights=return_weights)
         if return_weights:
             return out  # (x, weights)
@@ -119,6 +123,7 @@ class Exophormer(nn.Module):
     n_layers: int = 4
     virt_nodes: int = 4
     dtype: Dtype = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, adj, node_mask, return_weights: bool = False):
@@ -141,6 +146,7 @@ class Exophormer(nn.Module):
             output_size=self.output_size,
             n_layers=self.n_layers,
             dtype=self.dtype,
+            attention_impl=self.attention_impl,
             name="transformer",
         )(x, adj, node_mask, return_weights=return_weights)
         return out[:, :n], w
@@ -154,12 +160,13 @@ def make_gnn(
     heads: int = 8,
     virt_nodes: int = 4,
     dtype: Dtype = jnp.float32,
+    attention_impl: str = "auto",
 ) -> nn.Module:
     """Architecture switch mirroring Eff_GAT (efficient_gat.py:57-79)."""
     if architecture == "transformer":
         return GraphTransformer(
             hidden_dim=hidden_dim, heads=heads, output_size=output_size,
-            n_layers=n_layers, dtype=dtype,
+            n_layers=n_layers, dtype=dtype, attention_impl=attention_impl,
         )
     if architecture == "gcn":
         return GCN(hidden_dim=hidden_dim, output_size=output_size, dtype=dtype)
@@ -167,5 +174,6 @@ def make_gnn(
         return Exophormer(
             hidden_dim=hidden_dim, heads=heads, output_size=output_size,
             n_layers=n_layers, virt_nodes=virt_nodes, dtype=dtype,
+            attention_impl=attention_impl,
         )
     raise ValueError(f"unknown architecture {architecture!r}")
