@@ -32,3 +32,5 @@ from .so3 import (  # noqa: F401
 from .igso3 import build_igso3_inverse_cdf, igso3_sample, igso3_sample_angle  # noqa: F401
 from .assignment import greedy_assignment, greedy_assignment_batch  # noqa: F401
 from .knn import pairwise_sqdist, knn_indices, nearest_neighbor, chamfer_distance  # noqa: F401
+from .rotation3d import Rotation3D  # noqa: F401
+from .distributions import AffineT, bingham_sample, igso3xr3_sample, mmd_rbf, mmd_rotation  # noqa: F401

@@ -9,3 +9,4 @@ from .mesh import (  # noqa: F401
     shard_batch,
     shard_params,
 )
+from .distributed import PreemptionGuard, initialize, is_main_process  # noqa: F401

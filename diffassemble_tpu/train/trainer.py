@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.batch import FragmentBatch, PuzzleBatch, collate_puzzles
+from ..parallel.distributed import PreemptionGuard
 from ..parallel.mesh import auto_mesh, make_mesh, shard_batch
 from .checkpoint import CheckpointManager
 from .metrics import MeanMetrics, update_fragment_metrics, update_puzzle_metrics
@@ -167,6 +168,7 @@ class Trainer:
         if eval_ds is not None and self.sanity_eval_batches > 0:
             self.evaluate(state.params, eval_ds, max_batches=self.sanity_eval_batches, tag="sanity")
 
+        guard = PreemptionGuard().install()
         step = int(state.step)
         t_last = time.time()
         while step < self.max_steps:
@@ -184,6 +186,10 @@ class Trainer:
                     self.ckpt.save(step, state, metrics)
                 elif step % self.checkpoint_every == 0:
                     self.ckpt.save(step, state)
+                if guard.requested:
+                    print("preemption requested — checkpointing and exiting", flush=True)
+                    self.ckpt.save(step, state)
+                    return state
                 if step >= self.max_steps:
                     break
         self.ckpt.save(step, state)
