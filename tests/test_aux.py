@@ -100,8 +100,9 @@ def test_lr_schedule_shape():
     assert lrs.min() >= 1e-5 - 1e-9
     # warmup rises
     assert float(sched(0)) < float(sched(9))
-    # restart at step 100 jumps back up (to decayed peak)
-    assert float(sched(100)) > float(sched(99))
+    # restart at step 100 warms back up to the decayed peak
+    assert float(sched(110)) > float(sched(99))
+    np.testing.assert_allclose(float(sched(110)), 0.5e-3, rtol=0.01)
 
 
 def test_preemption_guard_flag():
