@@ -56,6 +56,7 @@ class Diffusion2DConfig:
     heads: int = 8
     freeze_backbone: bool = False
     all_equivariant: bool = False
+    two_heads: bool = False
     learning_rate: float = 1e-4
     compute_dtype: str = "float32"
     attention_impl: str = "auto"  # xla | pallas | auto
@@ -87,6 +88,7 @@ class Diffusion2D:
             virt_nodes=config.virt_nodes,
             hidden_dim=config.hidden_dim,
             heads=config.heads,
+            two_heads=config.two_heads and config.rotation,
             attention_impl=config.attention_impl,
             dtype=config.dtype,
         )
@@ -249,5 +251,10 @@ class Diffusion2D:
     # ------------------------------------------------------------- optimizer
 
     def make_optimizer(self) -> optax.GradientTransformation:
-        """Adafactor, matching the reference (spatial_diffusion.py:701-705)."""
-        return optax.adafactor(learning_rate=None)
+        """Adafactor with HF-style relative step sizes — the reference uses
+        `transformers.Adafactor()` defaults (spatial_diffusion.py:701-705):
+        lr_t = min(1e-2, 1/sqrt(t)), scaled by the parameter RMS. optax's
+        adafactor with learning_rate=None applies RAW unit-RMS updates (which
+        diverges); the explicit schedule below reproduces the HF behavior."""
+        schedule = lambda step: jnp.minimum(1e-2, 1.0 / jnp.sqrt(jnp.maximum(step, 1.0)))
+        return optax.adafactor(learning_rate=schedule, multiply_by_parameter_scale=True)

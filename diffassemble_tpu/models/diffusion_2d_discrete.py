@@ -252,7 +252,8 @@ class DiscreteDiffusion2D(Diffusion2D):
         }
 
     def make_optimizer(self):
-        return optax.adafactor(learning_rate=None)
+        schedule = lambda step: jnp.minimum(1e-2, 1.0 / jnp.sqrt(jnp.maximum(step, 1.0)))
+        return optax.adafactor(learning_rate=schedule, multiply_by_parameter_scale=True)
 
 
 class DiscreteDiffusion2DRot(DiscreteDiffusion2D):

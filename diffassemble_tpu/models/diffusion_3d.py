@@ -298,4 +298,10 @@ class Diffusion3D:
     # ------------------------------------------------------------- optimizer
 
     def make_optimizer(self) -> optax.GradientTransformation:
-        return optax.adafactor(learning_rate=None)
+        """Adafactor with HF-style relative step sizes — the reference uses
+        `transformers.Adafactor()` defaults (spatial_diffusion.py:701-705):
+        lr_t = min(1e-2, 1/sqrt(t)), scaled by the parameter RMS. optax's
+        adafactor with learning_rate=None applies RAW unit-RMS updates (which
+        diverges); the explicit schedule below reproduces the HF behavior."""
+        schedule = lambda step: jnp.minimum(1e-2, 1.0 / jnp.sqrt(jnp.maximum(step, 1.0)))
+        return optax.adafactor(learning_rate=schedule, multiply_by_parameter_scale=True)

@@ -2,7 +2,11 @@
 
 from .gnn import GCN, Exophormer, GraphTransformer, TransformerConvLayer, make_gnn  # noqa: F401
 from .visual import (  # noqa: F401
+    EquivariantResNet,
     EquivariantResNet18,
+    EquivariantResNet34,
+    GroupConvP4M,
+    GroupConvZ2M,
     GroupConvP4,
     GroupConvZ2,
     PatchConvEncoder,

@@ -69,6 +69,7 @@ class GraphDenoiser2D(nn.Module):
     discrete: bool = False
     n_classes: int = 0  # K grid cells (discrete mode)
     rot_classes: int = 0  # 4 for the discrete-rotation head
+    two_heads: bool = False  # separate (pos, rot) heads — efficient_gat_two_heads.py:58-68
     attention_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
@@ -119,6 +120,17 @@ class GraphDenoiser2D(nn.Module):
                 out = {"pos": pos_logits, "rot": rot_logits}
             else:
                 out = pos_logits
+        elif self.two_heads:
+            # experimental two-head (t, r) variant (efficient_gat_two_heads.py)
+            pos_out = nn.Sequential(
+                [nn.Dense(32, dtype=self.dtype), nn.gelu, nn.Dense(2, dtype=self.dtype)],
+                name="final_t",
+            )(resid)
+            rot_out = nn.Sequential(
+                [nn.Dense(32, dtype=self.dtype), nn.gelu, nn.Dense(self.output_channels - 2, dtype=self.dtype)],
+                name="final_r",
+            )(resid)
+            out = jnp.concatenate([pos_out, rot_out], axis=-1)
         else:
             out = nn.Sequential(
                 [nn.Dense(32, dtype=self.dtype), nn.gelu, nn.Dense(self.output_channels, dtype=self.dtype)],

@@ -116,7 +116,7 @@ class PointNetPlus(nn.Module):
 def make_point_encoder(name: str, dtype: Dtype = jnp.float32):
     """Backbone switch + output dim, mirroring Eff_GAT_3d
     (efficient_gat_3d.py:73-97)."""
-    from .vn import VN_DGCNN
+    from .vn import VN_DGCNN, VNPointNetEncoder
 
     table = {
         "pointnet": (lambda: PointNet(feat_dim=128, dtype=dtype), 128),
@@ -124,6 +124,7 @@ def make_point_encoder(name: str, dtype: Dtype = jnp.float32):
         "pointnet_plus": (lambda: PointNetPlus(feat_dim=256, dtype=dtype), 256),
         "vn_dgcnn": (lambda: VN_DGCNN(feat_dim=128, dtype=dtype), 768),
         "vn_dgcnn_inv": (lambda: VN_DGCNN(feat_dim=128, invariant=True, dtype=dtype), 256),
+        "vnn": (lambda: VNPointNetEncoder(output_dim=2104, dtype=dtype), 2104),
     }
     if name not in table:
         raise ValueError(f"unknown point backbone {name!r}")

@@ -188,6 +188,96 @@ class GroupConvP4(nn.Module):
         return out.reshape(b, h2, w2, 4, self.features)
 
 
+# ---------------------------------------------------------------------------
+# D4 (p4m) group-equivariant convolutions — rotations + mirrors
+# ---------------------------------------------------------------------------
+
+# D4 element g = (m, r): plane action x → Mirror^m Rot90^r x, indexed m*4+r.
+# Composition (a∘b means "apply b, then a"): derived from M R = R⁻¹ M.
+_D4 = [(m, r) for m in range(2) for r in range(4)]
+
+
+def _d4_mul(a: tuple, b: tuple) -> tuple:
+    am, ar = a
+    bm, br = b
+    # (M^am R^ar)(M^bm R^br) = M^(am+bm) R^(((-1)^bm)·ar + br)
+    return ((am + bm) % 2, (((-1) ** bm) * ar + br) % 4)
+
+
+def _d4_inv(a: tuple) -> tuple:
+    am, ar = a
+    return (am, (-((-1) ** am) * ar) % 4)
+
+
+def _d4_spatial(w: jnp.ndarray, g: tuple) -> jnp.ndarray:
+    """Apply D4 element g to the spatial axes (0, 1) of an HWIO-style kernel."""
+    m, r = g
+    out = jnp.rot90(w, k=r, axes=(0, 1))
+    if m:
+        out = jnp.flip(out, axis=1)
+    return out
+
+
+class GroupConvZ2M(nn.Module):
+    """Z2 → p4m lifting convolution: (B,H,W,Cin) → (B,H',W',8,Cout)
+    (GrouPy's P4MConvZ2, splitgconv2d.py:96-103)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        w = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (k, k, x.shape[-1], self.features), jnp.float32,
+        ).astype(self.dtype)
+        big = jnp.concatenate([_d4_spatial(w, g) for g in _D4], axis=-1)
+        out = lax.conv_general_dilated(
+            x, big, window_strides=(self.stride, self.stride), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b, h, wdt, _ = out.shape
+        return out.reshape(b, h, wdt, 8, self.features)
+
+
+class GroupConvP4M(nn.Module):
+    """p4m → p4m group convolution: (B,H,W,8,Cin) → (B,H',W',8,Cout)
+    (GrouPy's P4MConvP4M, splitgconv2d.py:105-109): for output element h the
+    filter is spatially transformed by h and its group axis permuted by
+    g ↦ h⁻¹∘g."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (k, k, 8, cin, self.features), jnp.float32,
+        ).astype(self.dtype)
+        transformed = []
+        for h in _D4:
+            perm = [_D4.index(_d4_mul(_d4_inv(h), g)) for g in _D4]
+            wh = _d4_spatial(w[:, :, perm], h)
+            transformed.append(wh.reshape(k, k, 8 * cin, self.features))
+        big = jnp.concatenate(transformed, axis=-1)
+        b, hgt, wdt, _, _ = x.shape
+        out = lax.conv_general_dilated(
+            x.reshape(b, hgt, wdt, 8 * cin), big,
+            window_strides=(self.stride, self.stride), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b, h2, w2, _ = out.shape
+        return out.reshape(b, h2, w2, 8, self.features)
+
+
 class OrientationNorm(nn.Module):
     """Instance norm over (H, W, orientation) per channel — the stateless,
     equivariant stand-in for the reference's BatchNorm3d."""
@@ -225,14 +315,17 @@ class EquivariantBasicBlock(nn.Module):
         return nn.relu(x + h)
 
 
-class EquivariantResNet18(nn.Module):
-    """C4-equivariant ResNet18 over 32×32 patches → (B, 1088).
+class EquivariantResNet(nn.Module):
+    """C4-equivariant ResNet over 32×32 patches → (B, 1088).
 
-    Mirrors reference resnet_equivariant.py:69-112: stem 32ch stride 1, stages
-    [32, 64, 64, 128] with strides [1, 2, 2, 2], taps at stage 3 (64ch·4·8·8)
-    and stage 4 (128ch·4·4·4) each linearly projected to 544 dims.
+    Mirrors reference resnet_equivariant.py:69-122: stem 32ch stride 1, stages
+    [32, 64, 64, 128] with strides [1, 2, 2, 2], taps at stage 3 and stage 4
+    each linearly projected to 544 dims. `blocks` selects the depth:
+    ResNet18 = (2, 2, 2, 2), ResNet34 = (3, 4, 6, 3) (reference :115-119;
+    the Bottleneck-based ResNet50 uses the same stage plan with 4 widths).
     """
 
+    blocks: Sequence[int] = (2, 2, 2, 2)
     dtype: Dtype = jnp.float32
     feature_dim: int = 1088
 
@@ -241,14 +334,23 @@ class EquivariantResNet18(nn.Module):
         x = normalize_patches(x)
         x = GroupConvZ2(32, 3, 1, dtype=self.dtype)(x)
         x = nn.relu(OrientationNorm(dtype=self.dtype)(x))
-        for features, stride, blocks in [(32, 1, 2), (64, 2, 2), (64, 2, 2)]:
+        b1, b2, b3, b4 = self.blocks
+        for features, stride, blocks in [(32, 1, b1), (64, 2, b2), (64, 2, b3)]:
             for i in range(blocks):
                 x = EquivariantBasicBlock(features, stride if i == 0 else 1, dtype=self.dtype)(x)
         tap3 = nn.Dense(544, dtype=self.dtype, name="proj3")(x.reshape(x.shape[0], -1))
-        for i in range(2):
+        for i in range(b4):
             x = EquivariantBasicBlock(128, 2 if i == 0 else 1, dtype=self.dtype)(x)
         tap4 = nn.Dense(544, dtype=self.dtype, name="proj4")(x.reshape(x.shape[0], -1))
         return jnp.concatenate([tap3, tap4], axis=-1)
+
+
+def EquivariantResNet18(dtype: Dtype = jnp.float32) -> EquivariantResNet:
+    return EquivariantResNet(blocks=(2, 2, 2, 2), dtype=dtype)
+
+
+def EquivariantResNet34(dtype: Dtype = jnp.float32) -> EquivariantResNet:
+    return EquivariantResNet(blocks=(3, 4, 6, 3), dtype=dtype)
 
 
 class TinyPatchEncoder(nn.Module):
@@ -276,6 +378,8 @@ def make_visual_encoder(name: str, dtype: Dtype = jnp.float32) -> nn.Module:
         return PatchConvEncoder(dtype=dtype)
     if name == "resnet18equiv":
         return EquivariantResNet18(dtype=dtype)
+    if name in ("resnet34equiv", "resnet50equiv"):
+        return EquivariantResNet34(dtype=dtype)
     if name == "tiny":
         return TinyPatchEncoder(dtype=dtype)
     raise ValueError(f"unknown visual backbone {name!r}")

@@ -206,3 +206,29 @@ class VN_DGCNN(nn.Module):
     @property
     def output_dim(self) -> int:
         return 2 * self.feat_dim if self.invariant else 6 * self.feat_dim
+
+
+class VNPointNetEncoder(nn.Module):
+    """VN-PointNet global encoder — the reference's `vnn` backbone option
+    (efficient_gat_3d.py:91-95: vnn/vn_pointnet.PointNetEncoder → Linear to
+    2104 dims): per-point VN feature stack on kNN edge features, mean pool to
+    a global vector feature, flattened + projected to `output_dim`.
+    """
+
+    output_dim: int = 2104
+    n_knn: int = 20
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pts):  # (B, N, 3)
+        b, n, _ = pts.shape
+        x = pts[:, :, None, :].astype(self.dtype)
+        g = vn_graph_feature(x, self.n_knn)  # (B, N, k, 2, 3)
+        g = VNLinearLeakyReLU(21, point_axes=(-4, -3), dtype=self.dtype)(g)
+        x1 = g.mean(axis=2)
+        x1 = VNLinearLeakyReLU(64, point_axes=(-3,), dtype=self.dtype)(x1)
+        x1 = VNLinearLeakyReLU(128, point_axes=(-3,), dtype=self.dtype)(x1)
+        x1 = VNLinear(341, dtype=self.dtype)(x1)  # ≈1024//3 channels
+        glob = x1.mean(axis=1)  # (B, 341, 3) global vector feature
+        flat = glob.reshape(b, -1)  # 1023 dims equivariant-flattened
+        return nn.Dense(self.output_dim, dtype=self.dtype)(flat)

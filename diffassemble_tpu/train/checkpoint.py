@@ -65,9 +65,15 @@ class CheckpointManager:
         step = step if step is not None else self.mgr.latest_step()
         if step is None:
             return None
-        restored = self.mgr.restore(
-            step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, state_template._asdict()))
-        )
+        try:
+            restored = self.mgr.restore(
+                step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, state_template._asdict()))
+            )
+        except ValueError as e:
+            # structural mismatch (e.g. optimizer changed between runs):
+            # start fresh rather than crashing the resume path
+            print(f"checkpoint at step {step} is incompatible, starting fresh: {e}", flush=True)
+            return None
         return type(state_template)(**restored)
 
     def latest_step(self) -> int | None:

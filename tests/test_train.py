@@ -42,6 +42,8 @@ def test_overfit_single_batch_loss_decreases():
     first = np.mean(losses[:10])
     last = np.mean(losses[-10:])
     assert last < 0.5 * first, f"no learning: first={first:.4f} last={last:.4f}"
+    assert last < 0.1, f"diverged or stalled: last={last:.4f}"
+    assert np.isfinite(losses).all()
 
 
 def test_grad_accumulation_matches_full_batch_direction():

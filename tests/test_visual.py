@@ -66,3 +66,80 @@ def test_patch_conv_encoder_output_dim():
     enc = PatchConvEncoder()
     p = enc.init(key, x)
     assert enc.apply(p, x).shape == (2, 1088)
+
+
+def test_group_conv_p4m_equivariance():
+    """D4 (rotation + mirror) equivariance of the p4m convs: input transforms
+    act on the output as spatial transform + the group-axis permutation
+    g ↦ h∘g, consistently through Z2M → P4M stacking."""
+    from diffassemble_tpu.nn.visual import GroupConvP4M, GroupConvZ2M
+
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (1, 8, 8, 3))
+    lift = GroupConvZ2M(4, 3, 1)
+    p1 = lift.init(key, x)
+    y = lift.apply(p1, x)
+    perm_rot = [3, 0, 1, 2, 5, 6, 7, 4]
+    perm_mir = [4, 5, 6, 7, 0, 1, 2, 3]
+
+    yr = lift.apply(p1, jnp.rot90(x, k=1, axes=(1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(yr),
+        np.asarray(jnp.rot90(y, k=1, axes=(1, 2))[:, :, :, perm_rot, :]),
+        atol=1e-4,
+    )
+    ym = lift.apply(p1, jnp.flip(x, axis=2))
+    np.testing.assert_allclose(
+        np.asarray(ym),
+        np.asarray(jnp.flip(y, axis=2)[:, :, :, perm_mir, :]),
+        atol=1e-4,
+    )
+
+    conv = GroupConvP4M(4, 3, 1)
+    x8 = jax.random.normal(jax.random.PRNGKey(8), (1, 8, 8, 8, 5))
+    p2 = conv.init(key, x8)
+    y2 = conv.apply(p2, x8)
+    x8r = jnp.rot90(x8, k=1, axes=(1, 2))[:, :, :, perm_rot, :]
+    y2r = conv.apply(p2, x8r)
+    np.testing.assert_allclose(
+        np.asarray(y2r),
+        np.asarray(jnp.rot90(y2, k=1, axes=(1, 2))[:, :, :, perm_rot, :]),
+        atol=1e-4,
+    )
+
+
+def test_equivariant_resnet34_and_two_heads():
+    from diffassemble_tpu.nn.visual import make_visual_encoder
+
+    enc = make_visual_encoder("resnet34equiv")
+    assert enc.blocks == (3, 4, 6, 3)
+    # two-head denoiser output contract
+    from diffassemble_tpu.nn.denoiser import GraphDenoiser2D
+
+    den = GraphDenoiser2D(
+        steps=10, input_channels=4, output_channels=4, feature_dim=16,
+        n_layers=2, hidden_dim=16, heads=2, two_heads=True,
+    )
+    p = den.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 4, 4)), jnp.zeros((1, 4), dtype=jnp.int32),
+        jnp.zeros((1, 4, 16)), jnp.ones((1, 4, 4), bool), jnp.ones((1, 4), bool),
+    )
+    out = den.apply(
+        p, jnp.zeros((1, 4, 4)), jnp.zeros((1, 4), dtype=jnp.int32),
+        jnp.zeros((1, 4, 16)), jnp.ones((1, 4, 4), bool), jnp.ones((1, 4), bool),
+    )
+    assert out.shape == (1, 4, 4)
+    # two heads ⇒ more Dense layers than the single-head variant
+    den1 = GraphDenoiser2D(
+        steps=10, input_channels=4, output_channels=4, feature_dim=16,
+        n_layers=2, hidden_dim=16, heads=2, two_heads=False,
+    )
+    p1 = den1.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 4, 4)), jnp.zeros((1, 4), dtype=jnp.int32),
+        jnp.zeros((1, 4, 16)), jnp.ones((1, 4, 4), bool), jnp.ones((1, 4), bool),
+    )
+    n2 = sum(x.size for x in jax.tree.leaves(p))
+    n1 = sum(x.size for x in jax.tree.leaves(p1))
+    assert n2 > n1
