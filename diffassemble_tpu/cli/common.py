@@ -140,22 +140,15 @@ def run_2d(args) -> None:
     if args.evaluate:
         import jax
 
-        first = None
         from ..data.batch import collate_puzzles
+        from ..train.train_state import create_train_state
 
-        state = None
-        params = trainer.ckpt.restore_params_only(model, test_ds) if hasattr(
-            trainer.ckpt, "restore_params_only"
-        ) else None
-        if params is None:
-            first = collate_puzzles([test_ds[0]], test_ds.max_nodes)
-            params = model.init(jax.random.PRNGKey(args.seed), first)
-            from ..train.train_state import create_train_state
-
-            state = create_train_state(params, trainer.optimizer, jax.random.PRNGKey(0))
-            restored = trainer.ckpt.restore(state)
-            if restored is not None:
-                params = restored.params
+        first = collate_puzzles([test_ds[0]], test_ds.max_nodes)
+        params = model.init(jax.random.PRNGKey(args.seed), first)
+        state = create_train_state(params, trainer.optimizer, jax.random.PRNGKey(0))
+        restored = trainer.ckpt.restore(state)
+        if restored is not None:
+            params = restored.params
         metrics = trainer.evaluate(params, test_ds, tag="test")
         print({k: round(v, 4) for k, v in metrics.items()})
         return

@@ -60,6 +60,7 @@ class Diffusion2DConfig:
     learning_rate: float = 1e-4
     compute_dtype: str = "float32"
     attention_impl: str = "auto"  # xla | pallas | auto
+    remat: bool = False  # rematerialize attention layers in backward
 
     @property
     def input_channels(self) -> int:
@@ -90,6 +91,7 @@ class Diffusion2D:
             heads=config.heads,
             two_heads=config.two_heads and config.rotation,
             attention_impl=config.attention_impl,
+            remat=config.remat,
             dtype=config.dtype,
         )
 

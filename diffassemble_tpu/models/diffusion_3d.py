@@ -69,6 +69,7 @@ class Diffusion3DConfig:
     learning_rate: float = 1e-4
     compute_dtype: str = "float32"
     attention_impl: str = "auto"  # xla | pallas | auto
+    remat: bool = False
 
     @property
     def dtype(self):
@@ -91,6 +92,7 @@ class Diffusion3D:
             heads=config.heads,
             use_6dof=config.use_6dof,
             attention_impl=config.attention_impl,
+            remat=config.remat,
             dtype=config.dtype,
         )
         # IGSO3 inverse-CDF table for eps_t = sqrt(1-ᾱ_t), one row per step

@@ -71,6 +71,7 @@ class GraphDenoiser2D(nn.Module):
     rot_classes: int = 0  # 4 for the discrete-rotation head
     two_heads: bool = False  # separate (pos, rot) heads — efficient_gat_two_heads.py:58-68
     attention_impl: str = "auto"
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -103,6 +104,7 @@ class GraphDenoiser2D(nn.Module):
             virt_nodes=self.virt_nodes,
             dtype=self.dtype,
             attention_impl=self.attention_impl,
+            remat=self.remat,
         )
         h, attentions = gnn(combined, adj, node_mask, return_weights=return_attentions)
 
@@ -160,6 +162,7 @@ class GraphDenoiser3D(nn.Module):
     heads: int = 8
     use_6dof: bool = False
     attention_impl: str = "auto"
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -182,6 +185,7 @@ class GraphDenoiser3D(nn.Module):
             virt_nodes=self.virt_nodes,
             dtype=self.dtype,
             attention_impl=self.attention_impl,
+            remat=self.remat,
         )
         h, attentions = gnn(combined, adj, node_mask, return_weights=return_attentions)
         resid = h + combined

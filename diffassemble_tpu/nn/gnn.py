@@ -61,12 +61,15 @@ class GraphTransformer(nn.Module):
     n_layers: int = 4
     dtype: Dtype = jnp.float32
     attention_impl: str = "auto"
+    remat: bool = False  # jax.checkpoint each layer: recompute activations in
+    #                      backward to fit 900-node training batches in HBM
 
     @nn.compact
     def __call__(self, x, adj, node_mask, return_weights: bool = False):
         del node_mask  # validity already folded into adj
+        layer_cls = nn.remat(TransformerConvLayer) if self.remat else TransformerConvLayer
         for i in range(self.n_layers - 1):
-            x = TransformerConvLayer(
+            x = layer_cls(
                 self.hidden_dim, self.heads, dtype=self.dtype,
                 attention_impl=self.attention_impl, name=f"layer_{i}"
             )(x, adj)
@@ -124,6 +127,7 @@ class Exophormer(nn.Module):
     virt_nodes: int = 4
     dtype: Dtype = jnp.float32
     attention_impl: str = "auto"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, adj, node_mask, return_weights: bool = False):
@@ -147,6 +151,7 @@ class Exophormer(nn.Module):
             n_layers=self.n_layers,
             dtype=self.dtype,
             attention_impl=self.attention_impl,
+            remat=self.remat,
             name="transformer",
         )(x, adj, node_mask, return_weights=return_weights)
         return out[:, :n], w
@@ -161,12 +166,14 @@ def make_gnn(
     virt_nodes: int = 4,
     dtype: Dtype = jnp.float32,
     attention_impl: str = "auto",
+    remat: bool = False,
 ) -> nn.Module:
     """Architecture switch mirroring Eff_GAT (efficient_gat.py:57-79)."""
     if architecture == "transformer":
         return GraphTransformer(
             hidden_dim=hidden_dim, heads=heads, output_size=output_size,
             n_layers=n_layers, dtype=dtype, attention_impl=attention_impl,
+            remat=remat,
         )
     if architecture == "gcn":
         return GCN(hidden_dim=hidden_dim, output_size=output_size, dtype=dtype)
@@ -174,6 +181,6 @@ def make_gnn(
         return Exophormer(
             hidden_dim=hidden_dim, heads=heads, output_size=output_size,
             n_layers=n_layers, virt_nodes=virt_nodes, dtype=dtype,
-            attention_impl=attention_impl,
+            attention_impl=attention_impl, remat=remat,
         )
     raise ValueError(f"unknown architecture {architecture!r}")

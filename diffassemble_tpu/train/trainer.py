@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.batch import FragmentBatch, PuzzleBatch, collate_puzzles
+from ..data.prefetch import prefetch
 from ..parallel.distributed import PreemptionGuard
 from ..parallel.mesh import auto_mesh, make_mesh, shard_batch
 from .checkpoint import CheckpointManager
@@ -172,8 +173,10 @@ class Trainer:
         step = int(state.step)
         t_last = time.time()
         while step < self.max_steps:
-            for nb in batch_iterator(
-                train_ds, self.batch_size, n_max, host_rng, collate=self.adapter.collate
+            for nb in prefetch(
+                batch_iterator(
+                    train_ds, self.batch_size, n_max, host_rng, collate=self.adapter.collate
+                )
             ):
                 state, aux = self.train_step(state, self._device_batch(nb))
                 step = int(state.step)
