@@ -169,9 +169,10 @@ class Diffusion2D:
             "l1": lambda p, y: jnp.abs(p - y),
             "l2": lambda p, y: (p - y) ** 2,
         }[cfg.loss_type]
-        per_elem = err_fn(pred, target)
+        per_elem = err_fn(pred, target)  # (B, N, C)
         mask = batch.node_mask[..., None].astype(per_elem.dtype)
-        loss = jnp.sum(per_elem * mask) / jnp.maximum(jnp.sum(mask) * per_elem.shape[-1] / mask.shape[-1], 1.0)
+        n_valid_elems = jnp.sum(mask) * per_elem.shape[-1]
+        loss = jnp.sum(per_elem * mask) / jnp.maximum(n_valid_elems, 1.0)
         return loss, {"loss": loss, "t_mean": t_graph.mean()}
 
     # -------------------------------------------------------------- sampling
