@@ -34,15 +34,26 @@ class SyntheticImages:
     Deterministic per (seed, index) so train/test splits are reproducible.
     """
 
-    def __init__(self, size_hw: tuple[int, int], n: int = 1000, seed: int = 0):
+    def __init__(self, size_hw: tuple[int, int], n: int = 1000, seed: int = 0, cache: bool = True):
         self.size_hw = size_hw
         self.n = n
         self.seed = seed
+        # procedural generation costs ~30ms/image on a weak host — cache the
+        # uint8 images (≤ ~110 MB for 1000 192² images) so only epoch 1 pays
+        self._cache: dict[int, np.ndarray] | None = {} if cache else None
 
     def __len__(self) -> int:
         return self.n
 
     def __getitem__(self, idx: int) -> np.ndarray:
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx].astype(np.float32) / 255.0
+        img = self._generate(idx)
+        if self._cache is not None:
+            self._cache[idx] = (img * 255).astype(np.uint8)
+        return img
+
+    def _generate(self, idx: int) -> np.ndarray:
         h, w = self.size_hw
         rng = np.random.default_rng((self.seed, idx))
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
