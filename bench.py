@@ -22,6 +22,15 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: the 30-step N=900 program takes minutes to
+    # compile cold; cached runs start in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from diffassemble_tpu.data import PuzzleBatch, collate_puzzles, make_puzzle
