@@ -117,6 +117,7 @@ class PuzzleDataset:
         missing_perc: int = 0,
         inference_full: bool = False,
         padding: int = 0,
+        random_dropout: float = 0.0,
         seed: int = 0,
     ):
         self.images = images
@@ -128,6 +129,7 @@ class PuzzleDataset:
         self.missing_perc = missing_perc
         self.inference_full = inference_full
         self.padding = padding
+        self.random_dropout = random_dropout
         self.seed = seed
 
     def __len__(self) -> int:
@@ -165,7 +167,13 @@ class PuzzleDataset:
                 sample[key] = sample[key][keep]
             n = len(keep)
 
-        if self.degree == -1 or self.inference_full:
+        if self.random_dropout > 0 and not self.inference_full:
+            # random edge subsampling instead of an expander
+            # (reference puzzle_dataset.py:615-628)
+            from .expander import random_dropout_mask
+
+            adj = random_dropout_mask(n, 1.0 - self.random_dropout, rng)
+        elif self.degree == -1 or self.inference_full:
             adj = np.ones((n, n), dtype=bool)
         elif self.unique_graph:
             adj = cached_expander_mask(n, str(self.degree), self.seed)
@@ -199,6 +207,8 @@ def get_dataset(
     degree: int | str = -1,
     missing_perc: int = 0,
     padding: int = 0,
+    random_dropout: float = 0.0,
+    unique_graph: bool = False,
     inf_fully: bool = True,
     data_root: str | None = None,
     train_n: int = 2000,
@@ -233,7 +243,8 @@ def get_dataset(
 
     mk = lambda imgs, split_seed, inf: PuzzleDataset(
         imgs, sizes, patch_size, rotation=rotation, degree=degree,
-        missing_perc=missing_perc, inference_full=inf, padding=padding,
+        unique_graph=unique_graph, missing_perc=missing_perc,
+        inference_full=inf, padding=padding, random_dropout=random_dropout,
         seed=seed + split_seed,
     )
     train = mk(image_source("train", train_n, 0), 0, False)

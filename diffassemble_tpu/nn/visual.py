@@ -345,6 +345,52 @@ class EquivariantResNet(nn.Module):
         return jnp.concatenate([tap3, tap4], axis=-1)
 
 
+class EquivariantBottleneck(nn.Module):
+    """C4-equivariant ResNet Bottleneck (reference resnet_equivariant.py:41-67):
+    1×1 reduce → 3×3 → 1×1 expand (4×), all p4 group convs."""
+
+    features: int
+    stride: int = 1
+    expansion: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.features * self.expansion
+        h = GroupConvP4(self.features, 1, 1, dtype=self.dtype)(x)
+        h = nn.relu(OrientationNorm(dtype=self.dtype)(h))
+        h = GroupConvP4(self.features, 3, self.stride, dtype=self.dtype)(h)
+        h = nn.relu(OrientationNorm(dtype=self.dtype)(h))
+        h = GroupConvP4(out_ch, 1, 1, dtype=self.dtype)(h)
+        h = OrientationNorm(dtype=self.dtype)(h)
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            x = GroupConvP4(out_ch, 1, self.stride, dtype=self.dtype)(x)
+            x = OrientationNorm(dtype=self.dtype)(x)
+        return nn.relu(x + h)
+
+
+class EquivariantResNet50(nn.Module):
+    """Bottleneck-based C4-equivariant ResNet50 (reference :121-122:
+    Bottleneck [3, 4, 6, 3]), same two 544-d stage taps → (B, 1088)."""
+
+    dtype: Dtype = jnp.float32
+    feature_dim: int = 1088
+
+    @nn.compact
+    def __call__(self, x):
+        x = normalize_patches(x)
+        x = GroupConvZ2(32, 3, 1, dtype=self.dtype)(x)
+        x = nn.relu(OrientationNorm(dtype=self.dtype)(x))
+        for features, stride, blocks in [(16, 1, 3), (16, 2, 4), (16, 2, 6)]:
+            for i in range(blocks):
+                x = EquivariantBottleneck(features, stride if i == 0 else 1, dtype=self.dtype)(x)
+        tap3 = nn.Dense(544, dtype=self.dtype, name="proj3")(x.reshape(x.shape[0], -1))
+        for i in range(3):
+            x = EquivariantBottleneck(32, 2 if i == 0 else 1, dtype=self.dtype)(x)
+        tap4 = nn.Dense(544, dtype=self.dtype, name="proj4")(x.reshape(x.shape[0], -1))
+        return jnp.concatenate([tap3, tap4], axis=-1)
+
+
 def EquivariantResNet18(dtype: Dtype = jnp.float32) -> EquivariantResNet:
     return EquivariantResNet(blocks=(2, 2, 2, 2), dtype=dtype)
 
@@ -378,8 +424,10 @@ def make_visual_encoder(name: str, dtype: Dtype = jnp.float32) -> nn.Module:
         return PatchConvEncoder(dtype=dtype)
     if name == "resnet18equiv":
         return EquivariantResNet18(dtype=dtype)
-    if name in ("resnet34equiv", "resnet50equiv"):
+    if name == "resnet34equiv":
         return EquivariantResNet34(dtype=dtype)
+    if name == "resnet50equiv":
+        return EquivariantResNet50(dtype=dtype)
     if name == "tiny":
         return TinyPatchEncoder(dtype=dtype)
     raise ValueError(f"unknown visual backbone {name!r}")
