@@ -54,22 +54,33 @@ class SyntheticImages:
         return img
 
     def _generate(self, idx: int) -> np.ndarray:
+        """Sub-cycle gradients (≤1 period over the image, so local appearance
+        determines global position without aliasing) + random rectangles and
+        ellipses for texture — keeps piece placement learnable like natural
+        images while staying procedural."""
         h, w = self.size_hw
         rng = np.random.default_rng((self.seed, idx))
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
         yy, xx = yy / h, xx / w
         img = np.zeros((h, w, 3), dtype=np.float32)
         for c in range(3):
-            fx, fy = rng.uniform(0.5, 3.0, 2)
+            fx, fy = rng.uniform(0.25, 0.9, 2)  # < 1 cycle ⇒ no positional aliasing
             px, py = rng.uniform(0, 2 * np.pi, 2)
-            img[..., c] = 0.5 + 0.35 * np.sin(2 * np.pi * fx * xx + px) * np.cos(
+            img[..., c] = 0.5 + 0.22 * np.sin(2 * np.pi * fx * xx + px) + 0.22 * np.cos(
                 2 * np.pi * fy * yy + py
             )
-        for _ in range(6):
-            y0, x0 = rng.integers(0, h // 2), rng.integers(0, w // 2)
-            dy, dx = rng.integers(h // 8, h // 2), rng.integers(w // 8, w // 2)
+        for _ in range(8):
+            y0, x0 = rng.integers(0, h * 3 // 4), rng.integers(0, w * 3 // 4)
+            dy, dx = rng.integers(h // 10, h // 3), rng.integers(w // 10, w // 3)
             col = rng.uniform(0, 1, 3).astype(np.float32)
-            img[y0 : y0 + dy, x0 : x0 + dx] = 0.6 * img[y0 : y0 + dy, x0 : x0 + dx] + 0.4 * col
+            if rng.random() < 0.5:
+                img[y0 : y0 + dy, x0 : x0 + dx] = (
+                    0.5 * img[y0 : y0 + dy, x0 : x0 + dx] + 0.5 * col
+                )
+            else:  # ellipse
+                cy, cx = y0 + dy / 2, x0 + dx / 2
+                m = ((yy * h - cy) / max(dy / 2, 1)) ** 2 + ((xx * w - cx) / max(dx / 2, 1)) ** 2 < 1
+                img[m] = 0.5 * img[m] + 0.5 * col
         return np.clip(img, 0.0, 1.0)
 
 
