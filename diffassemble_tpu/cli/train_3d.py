@@ -39,6 +39,7 @@ def add_3d_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--use_6dof_rot", action="store_true", default=False)
     ap.add_argument("--missing", type=int, default=0)
     ap.add_argument("--num_iter", type=int, default=1)
+    ap.add_argument("--export_meshes", action="store_true", default=False)
     ap.add_argument("--compute_dtype", type=str, default="bfloat16")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--data_dir", type=str, default=None)
@@ -108,6 +109,24 @@ def run_3d(args, missing: int = 0) -> None:
             params = restored.params
         # --num_iter repeated test with mean/std aggregation
         # (reference train_3d_missing.py:147-164)
+        if getattr(args, "export_meshes", False):
+            # dump per-step .ply + .npz trajectories for the Blender script
+            # (reference test_step export, …double_diffusion.py:1080-1188)
+            import jax.numpy as jnp
+            import numpy as np_
+
+            from ..data.batch import FragmentBatch
+            from ..utils.viz import export_fragment_trajectory
+
+            nb = trainer.adapter.collate([test_ds[i] for i in range(min(4, len(test_ds)))], args.max_num_part)
+            jb = FragmentBatch(*[jnp.asarray(a) for a in nb])
+            final, traj = model.sample(params, jb, jax.random.PRNGKey(1), keep_trajectory=True)
+            traj = np_.asarray(traj)  # (S, B, P, C)
+            for b in range(traj.shape[1]):
+                export_fragment_trajectory(
+                    f"{run_dir}/meshes", np_.asarray(jb.pcds[b]), traj[:, b],
+                    np_.asarray(jb.node_mask[b]), name=f"obj{b}",
+                )
         runs = []
         for it in range(args.num_iter):
             m = trainer.evaluate(params, test_ds, tag=f"test_{it}")

@@ -1,3 +1,9 @@
 """Utilities: visualization, profiling."""
 
-from .viz import compose_from_positions, export_fragments_ply, save_reconstruction, save_trajectory  # noqa: F401
+from .viz import (  # noqa: F401
+    compose_from_positions,
+    export_fragment_trajectory,
+    export_fragments_ply,
+    save_reconstruction,
+    save_trajectory,
+)

@@ -91,6 +91,29 @@ def save_trajectory(
         )
 
 
+def export_fragment_trajectory(
+    out_dir: str | Path,
+    pcds: np.ndarray,
+    trajectory: np.ndarray,
+    valids: np.ndarray,
+    name: str = "assembly",
+) -> None:
+    """Per-step .ply exports + one .npz of the full pose trajectory — the 3D
+    test-time export consumed by the Blender script
+    (reference …double_diffusion.py:1080-1188)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    np.savez(
+        out_dir / f"{name}_traj.npz", trajectory=trajectory, pcds=pcds, valids=valids
+    )
+    for s in range(trajectory.shape[0]):
+        quats = trajectory[s, :, :4]
+        trans = trajectory[s, :, 4:7]
+        export_fragments_ply(
+            out_dir / f"{name}_step{s:03d}.ply", pcds, trans, quats, valids
+        )
+
+
 def export_fragments_ply(
     path: str | Path,
     pcds: np.ndarray,

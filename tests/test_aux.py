@@ -115,3 +115,33 @@ def test_preemption_guard_flag():
 
     signal.raise_signal(signal.SIGTERM)
     assert g.requested
+
+
+def test_viz_exports(tmp_path):
+    from diffassemble_tpu.utils.viz import (
+        compose_from_positions,
+        export_fragment_trajectory,
+        save_reconstruction,
+    )
+
+    rng = np.random.default_rng(0)
+    patches = rng.random((4, 8, 8, 3)).astype(np.float32)
+    pos = np.array([[-1, -1], [1, -1], [-1, 1], [1, 1]], dtype=np.float32)
+    canvas = compose_from_positions(patches, pos, (2, 2))
+    assert canvas.shape == (16, 16, 3)
+    np.testing.assert_array_equal(canvas[:8, :8], patches[0])
+    save_reconstruction(tmp_path / "r.png", patches, pos, pos, (2, 2))
+    assert (tmp_path / "r.png").exists()
+
+    pcds = rng.random((3, 16, 3)).astype(np.float32)
+    traj = rng.random((2, 3, 7)).astype(np.float32)
+    traj[..., :4] /= np.linalg.norm(traj[..., :4], axis=-1, keepdims=True)
+    valids = np.array([True, True, False])
+    export_fragment_trajectory(tmp_path / "m", pcds, traj, valids)
+    assert (tmp_path / "m" / "assembly_step000.ply").exists()
+    assert (tmp_path / "m" / "assembly_traj.npz").exists()
+
+    from viz_scripts.blender_fragments import load_trajectory
+
+    steps = load_trajectory(str(tmp_path / "m"))
+    assert len(steps) == 2
