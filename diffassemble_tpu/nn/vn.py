@@ -81,7 +81,8 @@ class VNNorm(nn.Module):
     @nn.compact
     def __call__(self, x):  # (..., [K,] C, 3)
         c = x.shape[-2]
-        norm = jnp.linalg.norm(x, axis=-1, keepdims=True) + _EPS  # (..., C, 1)
+        # sqrt(Σx²+ε²): finite gradient at exact-zero vectors (bf16-common)
+        norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + _EPS**2)
         axes = tuple(a - 1 for a in self.point_axes)  # account for keepdims axis
         mu = jnp.mean(norm, axis=axes, keepdims=True)
         var = jnp.var(norm, axis=axes, keepdims=True)

@@ -23,6 +23,12 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _safe_norm(v: jnp.ndarray, axis=-1, keepdims=False) -> jnp.ndarray:
+    """Norm with finite gradients at 0 (jnp.linalg.norm's grad is NaN there —
+    with bf16 inputs exact zeros are common, e.g. identity-rotation heads)."""
+    return jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims) + _EPS**2)
+
+
 def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """3×3 matmul at full float32 precision.
 
@@ -39,7 +45,7 @@ def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def quaternion_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
     """(..., 4) wxyz unit quaternion → (..., 3, 3) rotation matrix."""
-    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+    q = q / _safe_norm(q, keepdims=True)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     two = 2.0
     m = jnp.stack(
@@ -54,7 +60,13 @@ def quaternion_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sqrt_positive_part(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt(max(x, 0)) with a zero (not NaN) gradient at x ≤ 0.
+
+    The double-where keeps the backward pass finite: at the identity rotation
+    three of the four candidate magnitudes are exactly 0 and the plain
+    sqrt(max(x,0)) would inject NaN·0 into the gradient."""
+    safe = jnp.where(x > 1e-12, x, 1.0)
+    return jnp.where(x > 1e-12, jnp.sqrt(safe), 0.0)
 
 
 def matrix_to_quaternion(m: jnp.ndarray) -> jnp.ndarray:
@@ -92,8 +104,10 @@ def matrix_to_quaternion(m: jnp.ndarray) -> jnp.ndarray:
     cands = cands / (2.0 * jnp.maximum(q_abs[..., None], 0.1))
     best = jnp.argmax(q_abs, axis=-1)
     onehot = jax.nn.one_hot(best, 4, dtype=m.dtype)  # (..., 4)
-    q = jnp.sum(cands * onehot[..., None], axis=-2)
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+    # zero out non-selected candidates BEFORE the sum so their (possibly
+    # ill-conditioned) gradients are cut, not multiplied by 0 into NaN
+    q = jnp.sum(jnp.where(onehot[..., None] > 0, cands, 0.0), axis=-2)
+    return q / _safe_norm(q, keepdims=True)
 
 
 def standardize_quaternion(q: jnp.ndarray) -> jnp.ndarray:
@@ -152,12 +166,10 @@ def rotvec_to_rmat(v: jnp.ndarray) -> jnp.ndarray:
 
 def quaternion_to_rotvec(q: jnp.ndarray) -> jnp.ndarray:
     """(..., 4) wxyz → (..., 3) rotation vector (axis * angle), angle in [0, π]."""
-    q = standardize_quaternion(
-        q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
-    )
+    q = standardize_quaternion(q / _safe_norm(q, keepdims=True))
     w = jnp.clip(q[..., 0], -1.0, 1.0)
     v = q[..., 1:]
-    vnorm = jnp.linalg.norm(v, axis=-1)
+    vnorm = _safe_norm(v)
     angle = 2.0 * jnp.arctan2(vnorm, w)
     # angle/sin(angle/2) with series at 0: 2 + angle^2/12 …
     scale = jnp.where(vnorm < 1e-6, 2.0 + angle**2 / 12.0, angle / jnp.maximum(vnorm, _EPS))
@@ -241,9 +253,9 @@ def sixdof_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
     reference's `use_6dof` head (…double_diffusion.py:486-496). The two input
     vectors become the first two *columns* of R."""
     a1, a2 = d6[..., :3], d6[..., 3:]
-    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), _EPS)
+    b1 = a1 / _safe_norm(a1, keepdims=True)
     b2 = a2 - jnp.sum(a2 * b1, axis=-1, keepdims=True) * b1
-    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), _EPS)
+    b2 = b2 / _safe_norm(b2, keepdims=True)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-1)
 
@@ -267,4 +279,4 @@ def orthogonalise(m: jnp.ndarray) -> jnp.ndarray:
 def random_quaternion(rng: jax.Array, shape: tuple = ()) -> jnp.ndarray:
     """Uniform random unit quaternions (..., 4), wxyz."""
     q = jax.random.normal(rng, (*shape, 4))
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+    return q / _safe_norm(q, keepdims=True)
