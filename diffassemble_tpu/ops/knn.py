@@ -53,7 +53,7 @@ def nearest_neighbor(a: jnp.ndarray, b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.n
 
 
 def chamfer_distance(
-    a: jnp.ndarray, b: jnp.ndarray
+    a: jnp.ndarray, b: jnp.ndarray, chunk: int | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Bidirectional squared Chamfer terms.
 
@@ -61,6 +61,42 @@ def chamfer_distance(
     squared distance to the nearest point of the other cloud — the same
     per-point outputs as the reference's ChamferDistance.forward
     (chamfer_distance.py:65-163); callers mean-reduce as needed.
+
+    For large clouds the full (N, M) matrix is never materialized: rows are
+    processed in `chunk`-sized scans with a running min (the shape-level CD at
+    Breaking-Bad scale is 20 parts × 1000 points → a 20k×20k×f32 = 1.6 GB
+    matrix per sample if materialized). `chunk=None` auto-selects: direct
+    below 2M pairs, 2048-row chunks above.
     """
-    d = pairwise_sqdist(a, b)
-    return jnp.min(d, axis=-1), jnp.min(d, axis=-2)
+    n, m = a.shape[-2], b.shape[-2]
+    if chunk is None:
+        chunk = 0 if n * m <= 2_000_000 else 2048
+    if chunk == 0 or n <= chunk:
+        d = pairwise_sqdist(a, b)
+        return jnp.min(d, axis=-1), jnp.min(d, axis=-2)
+    return _chamfer_chunked(a, b, chunk)
+
+
+def _chamfer_chunked(a: jnp.ndarray, b: jnp.ndarray, chunk: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-chunked scan: O(chunk · M) live memory, exact result."""
+    n, m = a.shape[-2], b.shape[-2]
+    pad = (-n) % chunk
+    a_pad = jnp.concatenate(
+        [a, jnp.full((*a.shape[:-2], pad, a.shape[-1]), 1e9, a.dtype)], axis=-2
+    ) if pad else a
+    n_chunks = a_pad.shape[-2] // chunk
+    chunks = jnp.moveaxis(
+        a_pad.reshape(*a.shape[:-2], n_chunks, chunk, a.shape[-1]), -3, 0
+    )  # (n_chunks, ..., chunk, C)
+
+    def body(carry, a_chunk):
+        d_b_min = carry
+        d = pairwise_sqdist(a_chunk, b)  # (..., chunk, M)
+        d_a = jnp.min(d, axis=-1)  # (..., chunk)
+        d_b_min = jnp.minimum(d_b_min, jnp.min(d, axis=-2))
+        return d_b_min, d_a
+
+    init = jnp.full((*b.shape[:-2], m), jnp.inf, a.dtype)
+    d_b, d_a_chunks = jax.lax.scan(body, init, chunks)
+    d_a = jnp.moveaxis(d_a_chunks, 0, -2).reshape(*a.shape[:-2], n_chunks * chunk)
+    return d_a[..., :n], d_b

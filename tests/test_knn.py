@@ -67,3 +67,29 @@ def test_nearest_neighbor_batched():
         dd = ((a[k][:, None] - b[k][None, :]) ** 2).sum(-1)
         np.testing.assert_allclose(np.asarray(dist[k]), dd.min(1), atol=1e-4)
         np.testing.assert_array_equal(np.asarray(idx[k]), dd.argmin(1))
+
+
+def test_chamfer_chunked_matches_direct():
+    rng = np.random.default_rng(6)
+    a = rng.normal(size=(2, 300, 3)).astype(np.float32)
+    b = rng.normal(size=(2, 170, 3)).astype(np.float32)
+    d1, d2 = chamfer_distance(jnp.asarray(a), jnp.asarray(b), chunk=0)
+    c1, c2 = chamfer_distance(jnp.asarray(a), jnp.asarray(b), chunk=64)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(d1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(d2), atol=1e-5)
+
+
+def test_chamfer_chunked_gradients():
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.normal(size=(50, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(40, 3)).astype(np.float32))
+
+    def loss(fn_chunk):
+        def f(a):
+            d1, d2 = chamfer_distance(a, b, chunk=fn_chunk)
+            return d1.mean() + d2.mean()
+        return jax.grad(f)(a)
+
+    g_direct = loss(0)
+    g_chunked = loss(16)
+    np.testing.assert_allclose(np.asarray(g_chunked), np.asarray(g_direct), atol=1e-5)
