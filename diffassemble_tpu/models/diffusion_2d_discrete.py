@@ -206,6 +206,13 @@ class DiscreteDiffusion2D(Diffusion2D):
         ab = self.sched.alphas_cumprod
         x_t = d3pm_q_sample(k_noise, x0_idx, t, ab, cfg.n_classes)
         feats = self.visual_features(params, batch.patches)
+        if cfg.classifier_free_prob > 0:
+            # per-graph conditioning dropout (reference :253-259)
+            k_cf = jax.random.fold_in(k_noise, 1)
+            keep = (
+                jax.random.uniform(k_cf, (b, 1, 1)) >= cfg.classifier_free_prob
+            ).astype(feats.dtype)
+            feats = feats * keep
         logits = self.denoise_logits(params, x_t, t, feats, batch.adj, batch.node_mask)
         per_node = self._node_loss(logits, x0_idx, x_t, t, ab, cfg.n_classes)
         m = batch.node_mask.astype(per_node.dtype)
@@ -222,11 +229,17 @@ class DiscreteDiffusion2D(Diffusion2D):
         ab = self.sched.alphas_cumprod
         ts = jnp.asarray(self.sched.timesteps(ratio))
 
+        zero_feats = jnp.zeros_like(feats)
+
         def body(carry, t_scalar):
             x, key = carry
             key, kg = jax.random.split(key)
             t = jnp.full((b, n), t_scalar, dtype=jnp.int32)
             logits = self.denoise_logits(params, x, t, feats, batch.adj, batch.node_mask)
+            if cfg.classifier_free_prob > 0 and cfg.classifier_free_w != 0:
+                # classifier-free mix on logits (reference p_sample_ddpm :283-300)
+                uncond = self.denoise_logits(params, x, t, zero_feats, batch.adj, batch.node_mask)
+                logits = (1 + cfg.classifier_free_w) * logits - cfg.classifier_free_w * uncond
             post = d3pm_posterior_logits(x, logits, t, t - ratio, ab, cfg.n_classes)
             x_next = gumbel_argmax(kg, post, t)
             return (x_next, key), (x_next if keep_trajectory else None)

@@ -149,3 +149,17 @@ def test_discrete_rot_cold_diffusion_end_to_end():
     np.testing.assert_allclose(
         np.asarray(model.metrics_from_final(batch.x0, batch)["piece_acc"]), 1.0
     )
+
+
+def test_discrete_classifier_free_paths():
+    batch = _tiny_batch()
+    cfg = DiscreteDiffusion2DConfig(
+        steps=10, inference_ratio=5, backbone="tiny", n_layers=2, hidden_dim=32,
+        heads=4, n_classes=4, classifier_free_prob=0.3, classifier_free_w=0.5,
+    )
+    model = DiscreteDiffusion2D(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    loss, _ = model.loss(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    res = model.sample(params, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(res.final)).all()
