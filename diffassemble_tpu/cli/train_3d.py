@@ -96,7 +96,9 @@ def run_3d(args, missing: int = 0) -> None:
         seed=args.seed,
         monitor="rmse_t_AVG",
         monitor_mode="min",
-        adapter=fragment_adapter(args.max_num_part, cats),
+        adapter=fragment_adapter(
+            args.max_num_part, cats, missing_perc=args.missing, seed=args.seed
+        ),
     )
     if args.evaluate:
         from ..train.train_state import create_train_state

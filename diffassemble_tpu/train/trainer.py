@@ -97,11 +97,16 @@ def puzzle_adapter() -> TaskAdapter:
     )
 
 
-def fragment_adapter(max_num_part: int, category_names: list[str]) -> TaskAdapter:
+def fragment_adapter(
+    max_num_part: int, category_names: list[str], missing_perc: int = 0, seed: int = 0
+) -> TaskAdapter:
     from ..data.breaking_bad import collate_fragments
 
+    rng = np.random.default_rng(seed)
     return TaskAdapter(
-        collate=lambda samples, n_max: collate_fragments(samples, n_max),
+        collate=lambda samples, n_max: collate_fragments(
+            samples, n_max, missing_perc=missing_perc, rng=rng
+        ),
         batch_cls=FragmentBatch,
         max_nodes=lambda ds: max_num_part,
         fold_metrics=lambda agg, bm, nb: update_fragment_metrics(

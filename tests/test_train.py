@@ -148,3 +148,15 @@ def test_3d_trainer_adapter(tmp_path):
     assert int(state.step) == 2
     metrics = trainer.evaluate(state.params, ds, max_batches=1)
     assert "rmse_t_AVG" in metrics and "part_acc_AVG" in metrics
+
+
+def test_fragment_adapter_missing_perc():
+    from diffassemble_tpu.data.breaking_bad import SyntheticFractures
+    from diffassemble_tpu.train.trainer import fragment_adapter
+
+    ds = SyntheticFractures(n=4, num_points=16, min_num_part=4, max_num_part=6)
+    adapter = fragment_adapter(6, ds.category_names, missing_perc=40)
+    nb = adapter.collate([ds[i] for i in range(4)], 6)
+    full = fragment_adapter(6, ds.category_names).collate([ds[i] for i in range(4)], 6)
+    assert nb.node_mask.sum() < full.node_mask.sum()
+    assert (nb.node_mask.sum(1) >= 2).all()
