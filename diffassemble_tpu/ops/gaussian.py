@@ -158,8 +158,11 @@ def sample_loop(
         t = jnp.full(lead_shape, t_scalar, dtype=jnp.int32)
         out = denoise_fn(x, t)
         if sampling == "ddpm":
+            # the ancestral update is parameterized in ε (reference
+            # p_sample_ddpm assumes an ε-model); convert x₀ predictions
+            eps = out if mean_type == "epsilon" else predict_eps_from_xstart(sched, x, t, out)
             noise = jax.random.normal(nkey, x.shape, x.dtype)
-            x_next = ddpm_step(sched, x, t, out, noise, t_is_zero=t_scalar == 0)
+            x_next = ddpm_step(sched, x, t, eps, noise, t_is_zero=t_scalar == 0)
         else:
             noise = jax.random.normal(nkey, x.shape, x.dtype) if eta > 0 else None
             x_next = ddim_step(

@@ -122,3 +122,15 @@ def test_sample_loop_jits():
     )
     out = f(jnp.ones((4, 2)), jax.random.PRNGKey(0))
     assert out.shape == (4, 2)
+
+
+def test_ddpm_with_xstart_model_converges_to_target():
+    """A perfect x0-predicting model under DDPM ancestral sampling must land
+    near the target (the ε-conversion path)."""
+    s = DiffusionSchedule.create(100, "linear")
+    target = jnp.array([[0.5, -0.5]] * 8)
+    res = sample_loop(
+        s, lambda x, t: target, init=jax.random.normal(jax.random.PRNGKey(0), (8, 2)),
+        rng=jax.random.PRNGKey(1), inference_ratio=1, sampling="ddpm", mean_type="xstart",
+    )
+    np.testing.assert_allclose(np.asarray(res.final), np.asarray(target), atol=0.05)
