@@ -108,6 +108,27 @@ def rotate_patches(patches: np.ndarray, rot_k: np.ndarray) -> np.ndarray:
     return out
 
 
+def collate_pad(rows: list[np.ndarray], n_max: int) -> np.ndarray:
+    """Scatter variable-length (n_i, …) float32 rows into (B, n_max, …) with
+    zero padding (native collate_pad_f32; numpy fallback)."""
+    b = len(rows)
+    tail = rows[0].shape[1:]
+    out = np.zeros((b, n_max, *tail), dtype=np.float32)
+    lib = _lib()
+    if lib is None:
+        for i, r in enumerate(rows):
+            out[i, : min(len(r), n_max)] = r[:n_max]
+        return out
+    src = np.ascontiguousarray(np.concatenate([r.reshape(len(r), -1) for r in rows], axis=0), dtype=np.float32)
+    lens = np.asarray([len(r) for r in rows], dtype=np.int32)
+    row_elems = int(np.prod(tail)) if tail else 1
+    lib.collate_pad_f32(
+        _fp(src), lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b, n_max, row_elems, _fp(out),
+    )
+    return out
+
+
 def regular_graph_mask(n: int, degree: int, seed: int) -> np.ndarray:
     """d-regular expander candidate as (n, n) bool mask (native PRNG)."""
     lib = _lib()

@@ -51,3 +51,13 @@ def test_regular_graph_deterministic():
     np.testing.assert_array_equal(a, b)
     c = native.regular_graph_mask(30, 6, seed=4)
     assert (a != c).any()
+
+
+def test_collate_pad():
+    rng = np.random.default_rng(5)
+    rows = [rng.random((3, 4)).astype(np.float32), rng.random((5, 4)).astype(np.float32)]
+    out = native.collate_pad(rows, n_max=6)
+    assert out.shape == (2, 6, 4)
+    np.testing.assert_array_equal(out[0, :3], rows[0])
+    np.testing.assert_array_equal(out[0, 3:], 0.0)
+    np.testing.assert_array_equal(out[1, :5], rows[1])
