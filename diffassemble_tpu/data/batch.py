@@ -23,7 +23,8 @@ import numpy as np
 class PuzzleBatch(NamedTuple):
     """One padded batch of 2D puzzles."""
 
-    patches: np.ndarray  # (B, N, ps, ps, 3) float32 in [0,1]
+    patches: np.ndarray  # (B, N, ps, ps, 3) uint8 — converted to float on
+    #                      device (4× less host→device transfer than f32)
     x0: np.ndarray       # (B, N, C) pose targets; C=2 (pos) or 4 (pos+rotvec)
     grid: np.ndarray     # (B, N, 2) anchor grid positions
     adj: np.ndarray      # (B, N, N) bool attention mask (topology ∧ validity)
@@ -52,7 +53,7 @@ def collate_puzzles(samples: list[dict], n_max: int, adj_template: np.ndarray | 
     b = len(samples)
     ps = samples[0]["patches"].shape[1]
     c = samples[0]["x0"].shape[-1]
-    patches = np.zeros((b, n_max, ps, ps, 3), dtype=np.float32)
+    patches = np.zeros((b, n_max, ps, ps, 3), dtype=np.uint8)
     x0 = np.zeros((b, n_max, c), dtype=np.float32)
     grid = np.zeros((b, n_max, 2), dtype=np.float32)
     adj = np.zeros((b, n_max, n_max), dtype=bool)
@@ -61,7 +62,10 @@ def collate_puzzles(samples: list[dict], n_max: int, adj_template: np.ndarray | 
     index = np.zeros((b,), dtype=np.int32)
     for i, s in enumerate(samples):
         n = s["patches"].shape[0]
-        patches[i, :n] = s["patches"]
+        p_f = s["patches"]
+        patches[i, :n] = (
+            p_f if p_f.dtype == np.uint8 else np.clip(p_f * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        )
         x0[i, :n] = s["x0"]
         grid[i, :n] = s["grid"]
         node_mask[i, :n] = True

@@ -121,6 +121,8 @@ class Diffusion2D:
         patch (reference efficient_gat.py:156-158) — a vmap over jnp.rot90.
         """
         b, n = patches.shape[:2]
+        if jnp.issubdtype(patches.dtype, jnp.integer):
+            patches = patches.astype(jnp.float32) / 255.0
         flat = patches.reshape(b * n, *patches.shape[2:])
         if self.cfg.all_equivariant:
             feats = jnp.stack(

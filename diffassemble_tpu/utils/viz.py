@@ -29,6 +29,8 @@ def compose_from_positions(
     (reference save_image_rotated :1285-1378).
     """
     h, w = patches_dim
+    if patches.dtype == np.uint8:
+        patches = patches.astype(np.float32) / 255.0
     ps = patches.shape[1]
     canvas = np.zeros((h * ps, w * ps, 3), dtype=np.float32)
     xs = np.linspace(-1, 1, w)
