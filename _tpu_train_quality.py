@@ -17,8 +17,8 @@ cfg = Diffusion2DConfig(
 model = Diffusion2D(cfg)
 train_ds, test_ds, _ = get_dataset("synthetic", puzzle_sizes=[6], train_n=4000, test_n=64)
 trainer = Trainer(
-    model, run_dir="runs/quality-6x6", max_steps=40000, batch_size=64,
-    eval_every=4000, checkpoint_every=4000, sanity_eval_batches=0,
+    model, run_dir="runs/quality-6x6", max_steps=12000, batch_size=64,
+    eval_every=2000, checkpoint_every=1000, sanity_eval_batches=0,
 )
 tick("setup done, starting fit")
 state = trainer.fit(train_ds, test_ds)
