@@ -146,7 +146,7 @@ class GroupConvZ2(nn.Module):
         ).astype(self.dtype)
         big = jnp.concatenate([_rotate_kernel_z2(w, r) for r in range(4)], axis=-1)
         out = lax.conv_general_dilated(
-            x, big,
+            x.astype(self.dtype), big,
             window_strides=(self.stride, self.stride),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -179,7 +179,7 @@ class GroupConvP4(nn.Module):
         )  # (k, k, 4*Cin, 4*Cout)
         b, h, wdt, _, _ = x.shape
         out = lax.conv_general_dilated(
-            x.reshape(b, h, wdt, 4 * cin), big,
+            x.reshape(b, h, wdt, 4 * cin).astype(self.dtype), big,
             window_strides=(self.stride, self.stride),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -236,7 +236,8 @@ class GroupConvZ2M(nn.Module):
         ).astype(self.dtype)
         big = jnp.concatenate([_d4_spatial(w, g) for g in _D4], axis=-1)
         out = lax.conv_general_dilated(
-            x, big, window_strides=(self.stride, self.stride), padding="SAME",
+            x.astype(self.dtype), big,
+            window_strides=(self.stride, self.stride), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         b, h, wdt, _ = out.shape
@@ -270,7 +271,7 @@ class GroupConvP4M(nn.Module):
         big = jnp.concatenate(transformed, axis=-1)
         b, hgt, wdt, _, _ = x.shape
         out = lax.conv_general_dilated(
-            x.reshape(b, hgt, wdt, 8 * cin), big,
+            x.reshape(b, hgt, wdt, 8 * cin).astype(self.dtype), big,
             window_strides=(self.stride, self.stride), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )

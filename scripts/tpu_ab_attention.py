@@ -1,4 +1,6 @@
 """A/B: XLA vs Pallas attention for the 30x30 sampler on TPU."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import os, time, sys
 import numpy as np
 

@@ -1,3 +1,5 @@
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import time, sys, json
 t0 = time.time()
 def tick(m): print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)

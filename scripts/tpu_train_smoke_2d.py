@@ -1,4 +1,6 @@
 """TPU training smoke: synthetic 6x6, flagship encoder, checks learning."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import time, sys
 t0 = time.time()
 def tick(m): print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)

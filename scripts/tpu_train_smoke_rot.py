@@ -1,5 +1,7 @@
 """TPU rotation-recipe smoke: the flagship train_celeba_rot configuration
 (C4-equivariant ResNet18 + Exophormer + predict-x0) on synthetic data."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import time
 t0 = time.time()
 def tick(m): print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)
