@@ -289,12 +289,15 @@ class OrientationNorm(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, H, W, 4, C)
         c = x.shape[-1]
-        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-        var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
+        # statistics in f32: bf16 mean/var over thousands of elements loses
+        # enough precision to destabilize deep equivariant stacks
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
-        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+        y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        return (y * scale + bias).astype(x.dtype)
 
 
 class EquivariantBasicBlock(nn.Module):

@@ -38,13 +38,25 @@ def make_train_step(
     loss_fn: Callable[[Any, Any, jax.Array], tuple[jnp.ndarray, dict]],
     optimizer: optax.GradientTransformation,
     accumulate: int = 1,
+    max_grad_norm: float | None = 10.0,
 ) -> Callable[[TrainState, Any], tuple[TrainState, dict]]:
     """Build the jitted train step; donates state for in-place buffer reuse.
 
     With accumulate > 1, the batch's leading axis is split into `accumulate`
     microbatches and gradients are averaged under a lax.scan — the TPU
     equivalent of Lightning's accumulate_grad_batches.
+
+    max_grad_norm clips the global gradient norm before the optimizer (default
+    10.0 — far above steady-state norms; it only suppresses the early-training
+    spikes that can collapse deep equivariant encoders in bf16).
     """
+    def _clip(grads):
+        if max_grad_norm is None:
+            return grads
+        # stateless global-norm clip so the caller's opt_state stays valid
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-9))
+        return jax.tree.map(lambda g: g * scale, grads)
 
     def step(state: TrainState, batch) -> tuple[TrainState, dict]:
         rng, sub = jax.random.split(state.rng)
@@ -74,6 +86,7 @@ def make_train_step(
             loss = loss / accumulate
             aux = {"loss": loss}
 
+        grads = _clip(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1, rng)
