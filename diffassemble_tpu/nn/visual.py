@@ -280,8 +280,16 @@ class GroupConvP4M(nn.Module):
 
 
 class OrientationNorm(nn.Module):
-    """Instance norm over (H, W, orientation) per channel — the stateless,
-    equivariant stand-in for the reference's BatchNorm3d."""
+    """Batch-statistics norm over (batch, H, W, orientation) per channel — the
+    stateless equivalent of the reference's BatchNorm3d in train mode
+    (resnet_equivariant.py:23-26). Statistics are computed per call (eval uses
+    the eval batch's stats), so no running-state collections thread through
+    pjit; under a dp-sharded batch XLA inserts the cross-device reduction.
+
+    Per-SAMPLE (instance) statistics are deliberately NOT used: they erase the
+    per-patch mean — exactly the absolute-position signal piece placement
+    depends on — and collapse the puzzle model into predicting the grid mean.
+    """
 
     dtype: Dtype = jnp.float32
     epsilon: float = 1e-5
@@ -292,8 +300,8 @@ class OrientationNorm(nn.Module):
         # statistics in f32: bf16 mean/var over thousands of elements loses
         # enough precision to destabilize deep equivariant stacks
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-        var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
+        mean = jnp.mean(xf, axis=(0, 1, 2, 3), keepdims=True)
+        var = jnp.var(xf, axis=(0, 1, 2, 3), keepdims=True)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
