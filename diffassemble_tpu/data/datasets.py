@@ -250,6 +250,9 @@ def get_dataset(
             if split_file.exists():
                 return ImageFolder(str(img_root), str(split_file), size_hw)
             return ImageFolder(str(img_root), None, size_hw)
+        if dataset in ("cifar100", "imagenet"):
+            # torchvision-style folder layouts under the data root
+            return ImageFolder(str(Path(root) / dataset / split), None, size_hw)
         return ImageFolder(dataset, None, size_hw)
 
     mk = lambda imgs, split_seed, inf: PuzzleDataset(
