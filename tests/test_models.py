@@ -165,3 +165,43 @@ def test_vn_dgcnn_equivariance():
     np.testing.assert_allclose(
         np.asarray(feats_rot.reshape(2, -1, 3)), np.asarray(expected), atol=1e-3
     )
+
+
+def test_igso3_forward_chain_statistics():
+    """At t=T−1 the rotation chain must be near-uniform on SO(3) (mean
+    geodesic from identity → ≈ 2.07 rad for Haar), at t=0 near identity."""
+    from diffassemble_tpu.ops.so3 import geodesic_distance_rmat
+
+    cfg = Diffusion3DConfig(
+        steps=200, inference_ratio=50, backbone="pointnet", n_layers=2,
+        hidden_dim=32, heads=4, max_num_part=4,
+    )
+    model = Diffusion3D(cfg)
+    eye = jnp.broadcast_to(jnp.eye(3), (3000, 3, 3))
+    d0 = float(geodesic_distance_rmat(
+        eye, model.q_sample_rot(eye, jnp.zeros(3000, jnp.int32), jax.random.PRNGKey(0))
+    ).mean())
+    dT = float(geodesic_distance_rmat(
+        eye, model.q_sample_rot(eye, jnp.full(3000, 199, jnp.int32), jax.random.PRNGKey(1))
+    ).mean())
+    assert d0 < 0.15, f"t=0 should stay near identity, got {d0}"
+    assert 1.6 < dT < 2.5, f"t=T should be near-uniform (≈2.07), got {dT}"
+
+
+def test_trainer_resume_from_checkpoint(tmp_path):
+    """fit → stop → new Trainer resumes from the saved step (the wandb-id
+    resume equivalent, reference train_script.py:206-237)."""
+    from diffassemble_tpu.data import get_dataset
+    from diffassemble_tpu.train.trainer import Trainer
+
+    model = tiny_2d_model()
+    train_ds, _, _ = get_dataset("synthetic", puzzle_sizes=[2], train_n=4)
+    t1 = Trainer(model, run_dir=str(tmp_path / "r"), max_steps=2, batch_size=2,
+                 checkpoint_every=2, sanity_eval_batches=0, log_quiet=True)
+    s1 = t1.fit(train_ds, None)
+    assert int(s1.step) == 2
+    t2 = Trainer(model, run_dir=str(tmp_path / "r"), max_steps=4, batch_size=2,
+                 checkpoint_every=2, sanity_eval_batches=0, log_quiet=True)
+    s2 = t2.fit(train_ds, None)
+    assert int(s2.step) == 4  # continued from 2, not from 0
+
