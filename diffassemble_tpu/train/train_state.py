@@ -92,6 +92,11 @@ def make_train_step(
         new_state = TrainState(params, opt_state, state.step + 1, rng)
         aux = dict(aux)
         aux["grad_norm"] = optax.global_norm(grads)
+        # per-subtree norms (encoder vs denoiser) — the first thing to look at
+        # when a recipe stalls (see CLAUDE.md round-1 findings)
+        if isinstance(grads, dict):
+            for k, sub in grads.items():
+                aux[f"grad_norm/{k}"] = optax.global_norm(sub)
         return new_state, aux
 
     return jax.jit(step, donate_argnums=(0,))

@@ -143,3 +143,23 @@ def test_equivariant_resnet34_and_two_heads():
     n2 = sum(x.size for x in jax.tree.leaves(p))
     n1 = sum(x.size for x in jax.tree.leaves(p1))
     assert n2 > n1
+
+
+def test_orientation_norm_preserves_mean_signal():
+    """Two patches that differ only in mean brightness must yield different
+    encoder features — per-sample (instance) statistics would erase exactly
+    this signal and collapse puzzle training (round-1 finding)."""
+    from diffassemble_tpu.nn.visual import GroupConvZ2, OrientationNorm
+
+    key = jax.random.PRNGKey(0)
+    base = jax.random.uniform(key, (1, 8, 8, 3)) * 0.2
+    bright = base + 0.5
+    x = jnp.concatenate([base, bright], axis=0)
+    conv = GroupConvZ2(4, 3, 1)
+    p = conv.init(key, x)
+    h = conv.apply(p, x)
+    on = OrientationNorm()
+    po = on.init(key, h)
+    y = on.apply(po, h)
+    diff = float(jnp.abs(y[0] - y[1]).mean())
+    assert diff > 0.1, f"mean-brightness signal erased by the norm (diff={diff})"
