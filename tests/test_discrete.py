@@ -163,3 +163,28 @@ def test_discrete_classifier_free_paths():
     assert np.isfinite(float(loss))
     res = model.sample(params, batch, jax.random.PRNGKey(2))
     assert np.isfinite(np.asarray(res.final)).all()
+
+
+def test_cold_diffusion_patch_rotation_gather():
+    """The sampler's precomputed 4-way rotation stack + take_along_axis must
+    equal per-patch np.rot90 by -rot_acc (reference rotate_images semantics,
+    spatial_diffusion_discrete_rot.py:334-375)."""
+    rng = np.random.default_rng(0)
+    patches = jnp.asarray(rng.random((2, 3, 8, 8, 3)).astype(np.float32))
+    patches4 = jnp.stack(
+        [jnp.rot90(patches, k=k, axes=(2, 3)) for k in range(4)], axis=2
+    )
+    rot_acc = jnp.asarray([[0, 1, 2], [3, 2, 1]], dtype=jnp.int32)
+    sel = jnp.mod(-rot_acc, 4)
+    cond = jnp.take_along_axis(
+        patches4, sel[..., None, None, None, None], axis=2
+    )[:, :, 0]
+    ref = np.stack(
+        [
+            np.stack(
+                [np.rot90(np.asarray(patches[b, n]), k=int(-rot_acc[b, n]) % 4) for n in range(3)]
+            )
+            for b in range(2)
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(cond), ref, atol=1e-6)
