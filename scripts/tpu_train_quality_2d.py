@@ -1,6 +1,4 @@
 """Long 2D quality run: 6x6 synthetic (fixed generator), flagship encoder."""
-import sys as _sys, pathlib as _pl
-_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import time
 t0 = time.time()
 def tick(m): print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)
