@@ -26,6 +26,21 @@ def percent(value: str):
     return int(s)
 
 
+def str2bool(value) -> bool:
+    """Boolean flag parser. argparse `type=bool` evaluates any non-empty
+    string (including "False") as truthy — the reference's own scripts hit
+    this footgun with `--rotation False`. This parser makes the reference's
+    documented invocations behave."""
+    if isinstance(value, bool):
+        return value
+    s = str(value).strip().lower()
+    if s in ("true", "1", "yes", "y", "t"):
+        return True
+    if s in ("false", "0", "no", "n", "f", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {value!r}")
+
+
 def add_2d_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("-batch_size", type=int, default=6)
     ap.add_argument("-gpus", type=int, default=1, help="devices on the dp mesh axis")
@@ -41,8 +56,8 @@ def add_2d_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("-inference_ratio", type=int, default=10)
     ap.add_argument("--degree", type=percent, default="100%")
     ap.add_argument("--virt_nodes", type=int, default=4)
-    ap.add_argument("--unique_graph", type=bool, default=False)
-    ap.add_argument("--inf_fully", type=bool, default=False)
+    ap.add_argument("--unique_graph", type=str2bool, default=False)
+    ap.add_argument("--inf_fully", type=str2bool, default=False)
     ap.add_argument("--n_layers", type=int, default=4)
     ap.add_argument("-puzzle_sizes", nargs="+", default=[6], type=int)
     ap.add_argument("--classifier_free_w", type=float, default=0.2)
@@ -50,18 +65,18 @@ def add_2d_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--checkpoint_path", type=str, default="")
     ap.add_argument("--run_dir", type=str, default="")
     ap.add_argument("--noise_weight", type=float, default=0.0)
-    ap.add_argument("--predict_xstart", type=bool, default=False)
-    ap.add_argument("--rotation", type=bool, default=False)
+    ap.add_argument("--predict_xstart", type=str2bool, default=False)
+    ap.add_argument("--rotation", type=str2bool, default=False)
     ap.add_argument("--only_rotation", action="store_true", default=False)
-    ap.add_argument("--freeze_backbone", type=bool, default=False)
-    ap.add_argument("--visual_pretrained", type=bool, default=True)
-    ap.add_argument("--discrete", type=bool, default=False)
-    ap.add_argument("--cold_diffusion", type=bool, default=False)
+    ap.add_argument("--freeze_backbone", type=str2bool, default=False)
+    ap.add_argument("--visual_pretrained", type=str2bool, default=True)
+    ap.add_argument("--discrete", type=str2bool, default=False)
+    ap.add_argument("--cold_diffusion", type=str2bool, default=False)
     ap.add_argument("--loss_type", type=str, default="huber")
     ap.add_argument("--backbone", type=str, default="efficientnet_b0")
     ap.add_argument("--architecture", type=str, default="transformer")
-    ap.add_argument("--all_equivariant", type=bool, default=False)
-    ap.add_argument("--evaluate", type=bool, default=False)
+    ap.add_argument("--all_equivariant", type=str2bool, default=False)
+    ap.add_argument("--evaluate", type=str2bool, default=False)
     ap.add_argument("--acc_grad", type=int, default=0)
     ap.add_argument("--missing", type=int, default=0)
     ap.add_argument("--compute_dtype", type=str, default="bfloat16")
@@ -146,9 +161,14 @@ def run_2d(args) -> None:
         first = collate_puzzles([test_ds[0]], test_ds.max_nodes)
         params = model.init(jax.random.PRNGKey(args.seed), first)
         state = create_train_state(params, trainer.optimizer, jax.random.PRNGKey(0))
-        restored = trainer.ckpt.restore(state)
-        if restored is not None:
-            params = restored.params
+        if getattr(args, "checkpoint_path", ""):
+            from ..train.checkpoint import restore_explicit
+
+            params = restore_explicit(args.checkpoint_path, state).params
+        else:
+            restored = trainer.ckpt.restore(state)
+            if restored is not None:
+                params = restored.params
         metrics = trainer.evaluate(params, test_ds, tag="test")
         print({k: round(v, 4) for k, v in metrics.items()})
         return

@@ -9,17 +9,24 @@ from __future__ import annotations
 import argparse
 import dataclasses
 
+from .common import str2bool
+
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--run_dir", type=str, required=True, help="training run dir with checkpoints/")
+    ap.add_argument(
+        "--checkpoint_path", type=str, default="",
+        help="explicit checkpoint to load (run dir / checkpoints root / step dir) "
+        "instead of run_dir's latest (reference train_script.py:228-237)",
+    )
     ap.add_argument("--dataset", type=str, default="synthetic")
     ap.add_argument("--puzzle_sizes", nargs="+", default=[6], type=int)
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--n_batches", type=int, default=2)
     ap.add_argument("--inference_ratio", type=int, default=None)
     ap.add_argument("--noise_weight", type=float, default=None)
-    ap.add_argument("--save_images", type=bool, default=True)
+    ap.add_argument("--save_images", type=str2bool, default=True)
     ap.add_argument("--out_dir", type=str, default="")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -34,8 +41,14 @@ def main() -> None:
     from ..train.train_state import create_train_state
     from ..utils.viz import save_trajectory
 
-    ckpt = CheckpointManager(f"{args.run_dir}/checkpoints")
-    cfg_dict = ckpt.load_config()
+    if args.checkpoint_path:
+        from ..train.checkpoint import load_config_near
+
+        ckpt = None
+        cfg_dict = load_config_near(args.checkpoint_path)
+    else:
+        ckpt = CheckpointManager(f"{args.run_dir}/checkpoints")
+        cfg_dict = ckpt.load_config()
     # sampler overrides (reference viz_script.py:74-77)
     if args.inference_ratio is not None:
         cfg_dict["inference_ratio"] = args.inference_ratio
@@ -51,12 +64,19 @@ def main() -> None:
     first = collate_puzzles([test_ds[0]], test_ds.max_nodes)
     params = model.init(jax.random.PRNGKey(args.seed), first)
     state = create_train_state(params, model.make_optimizer(), jax.random.PRNGKey(0))
-    restored = ckpt.restore(state)
-    if restored is not None:
+    if args.checkpoint_path:
+        from ..train.checkpoint import restore_explicit
+
+        restored = restore_explicit(args.checkpoint_path, state)
         params = restored.params
-        print(f"restored step {int(restored.step)}")
+        print(f"restored step {int(restored.step)} from {args.checkpoint_path}")
     else:
-        print("WARNING: no checkpoint found, using random init")
+        restored = ckpt.restore(state)
+        if restored is not None:
+            params = restored.params
+            print(f"restored step {int(restored.step)}")
+        else:
+            print("WARNING: no checkpoint found, using random init")
 
     out_dir = args.out_dir or f"{args.run_dir}/preds"
     rng = jax.random.PRNGKey(args.seed)

@@ -19,7 +19,14 @@ class PuzzleSolver:
     """predict(image) → reassembled image (the LitGradio.predict contract,
     app.py:74-88)."""
 
-    def __init__(self, run_dir: str, puzzle_size: int = 6, shuffle: bool = True, seed: int = 0):
+    def __init__(
+        self,
+        run_dir: str,
+        puzzle_size: int = 6,
+        shuffle: bool = True,
+        seed: int = 0,
+        checkpoint_path: str = "",
+    ):
         import jax
 
         from ..data import collate_puzzles, make_puzzle
@@ -46,8 +53,13 @@ class PuzzleSolver:
         first = collate_puzzles([s], puzzle_size * puzzle_size)
         params = self.model.init(jax.random.PRNGKey(seed), first)
         state = create_train_state(params, self.model.make_optimizer(), jax.random.PRNGKey(0))
-        restored = ckpt.restore(state)
-        self.params = restored.params if restored is not None else params
+        if checkpoint_path:
+            from ..train.checkpoint import restore_explicit
+
+            self.params = restore_explicit(checkpoint_path, state).params
+        else:
+            restored = ckpt.restore(state)
+            self.params = restored.params if restored is not None else params
         self._sample = jax.jit(lambda p, b, k: self.model.sample(p, b, k).final)
 
     def predict(self, image) -> "object":
@@ -79,11 +91,12 @@ class PuzzleSolver:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--run_dir", type=str, required=True)
+    ap.add_argument("--checkpoint_path", type=str, default="", help="explicit checkpoint override")
     ap.add_argument("--puzzle_size", type=int, default=6)
     ap.add_argument("--port", type=int, default=7860)
     args = ap.parse_args()
 
-    solver = PuzzleSolver(args.run_dir, args.puzzle_size)
+    solver = PuzzleSolver(args.run_dir, args.puzzle_size, checkpoint_path=args.checkpoint_path)
 
     from http.server import BaseHTTPRequestHandler, HTTPServer
 

@@ -11,6 +11,9 @@ from __future__ import annotations
 import argparse
 
 
+from .common import str2bool
+
+
 def add_3d_args(ap: argparse.ArgumentParser) -> None:
     """Flag surface of reference train_3d.py:158-189."""
     ap.add_argument("--batch_size", type=int, default=8)
@@ -26,13 +29,13 @@ def add_3d_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--checkpoint_path", type=str, default="")
     ap.add_argument("--run_dir", type=str, default="")
     ap.add_argument("--noise_weight", type=float, default=0.0)
-    ap.add_argument("--predict_xstart", type=bool, default=True)
+    ap.add_argument("--predict_xstart", type=str2bool, default=True)
     ap.add_argument("--backbone", type=str, default="vn_dgcnn")
     ap.add_argument("--architecture", type=str, default="transformer")
-    ap.add_argument("--freeze_backbone", type=bool, default=False)
+    ap.add_argument("--freeze_backbone", type=str2bool, default=False)
     ap.add_argument("--loss_type", type=str, default="all")
     ap.add_argument("--category", type=str, default="")
-    ap.add_argument("--evaluate", type=bool, default=False)
+    ap.add_argument("--evaluate", type=str2bool, default=False)
     ap.add_argument("--max_steps", type=int, default=100_000)
     ap.add_argument("--max_num_part", type=int, default=20)
     ap.add_argument("--min_num_part", type=int, default=2)
@@ -106,9 +109,14 @@ def run_3d(args, missing: int = 0) -> None:
         first = trainer.adapter.collate([test_ds[0]], args.max_num_part)
         params = model.init(jax.random.PRNGKey(args.seed), first)
         state = create_train_state(params, trainer.optimizer, jax.random.PRNGKey(0))
-        restored = trainer.ckpt.restore(state)
-        if restored is not None:
-            params = restored.params
+        if args.checkpoint_path:
+            from ..train.checkpoint import restore_explicit
+
+            params = restore_explicit(args.checkpoint_path, state).params
+        else:
+            restored = trainer.ckpt.restore(state)
+            if restored is not None:
+                params = restored.params
         # --num_iter repeated test with mean/std aggregation
         # (reference train_3d_missing.py:147-164)
         if getattr(args, "export_meshes", False):

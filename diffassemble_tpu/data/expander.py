@@ -108,9 +108,14 @@ def expander_mask(
 @lru_cache(maxsize=64)
 def cached_expander_mask(num_nodes: int, degree_key: str, seed: int) -> np.ndarray:
     """One fixed topology per (size, degree) — the reference's `unique_graph`
-    mode (puzzle_dataset.py:194-212)."""
+    mode (puzzle_dataset.py:194-212).
+
+    The returned array is marked read-only: lru_cache hands the same ndarray
+    to every caller, so an in-place mutation would poison the cache."""
     rng = np.random.default_rng(seed)
-    return expander_mask(num_nodes, degree_key if degree_key.endswith("%") else int(degree_key), rng)
+    mask = expander_mask(num_nodes, degree_key if degree_key.endswith("%") else int(degree_key), rng)
+    mask.setflags(write=False)
+    return mask
 
 
 def random_dropout_mask(

@@ -65,12 +65,15 @@ def param_sharding_rules(mesh: Mesh, params: Any) -> Any:
     """Tensor-parallel layout for the denoiser params over the 'tp' axis.
 
     Rules (applied when mesh's tp axis > 1, else fully replicated):
-    - attention q/k/v/skip kernels (D, H·Dh): shard output dim (heads) on tp;
-    - MLP first Dense kernels (D, hidden): shard hidden on tp;
-    - biases of those layers: shard on tp;
+    - attention q/k/v/skip kernels (D, H·Dh): shard output dim (heads) on tp,
+      and their biases on tp;
+    - fusion-MLP pair (Megatron layout): first Dense kernel (D, hidden)
+      column-parallel P(None, 'tp') with bias on tp; second Dense kernel
+      (hidden, D) row-parallel P('tp', None) with replicated bias — XLA
+      inserts the single all-reduce after the second matmul;
     - everything else: replicated.
-    XLA then inserts the all-reduces at layer boundaries — the scaling-book
-    "Megatron" pattern without hand-written collectives.
+    This is the scaling-book "Megatron" pattern without hand-written
+    collectives.
     """
     tp = mesh.shape["tp"]
 
@@ -83,6 +86,11 @@ def param_sharding_rules(mesh: Mesh, params: Any) -> Any:
             return P(None, "tp")
         if is_attn_proj and leaf.ndim == 1:
             return P("tp")
+        if "fusion" in names:
+            if "Dense_0" in names and leaf.shape[-1] % tp == 0:
+                return P(None, "tp") if leaf.ndim >= 2 else P("tp")
+            if "Dense_1" in names and leaf.ndim >= 2 and leaf.shape[0] % tp == 0:
+                return P("tp", None)
         return P()
 
     flat = jax.tree_util.tree_flatten_with_path(params)

@@ -81,3 +81,42 @@ class CheckpointManager:
 
     def best_step(self) -> int | None:
         return self.mgr.best_step()
+
+
+def load_config_near(path: str) -> dict:
+    """Find the config.json stored next to an explicit checkpoint path
+    (run dir, checkpoints root, or a single step dir)."""
+    p = Path(path).absolute()
+    for cand in (p / "checkpoints" / "config.json", p / "config.json", p.parent / "config.json"):
+        if cand.is_file():
+            return json.loads(cand.read_text())
+    raise FileNotFoundError(f"no config.json near checkpoint path {p}")
+
+
+def restore_explicit(path: str, state_template):
+    """Restore from an explicit checkpoint path — the reference's
+    `--checkpoint_path` eval path (train_script.py:228-237), where a user
+    points at a checkpoint file directly instead of a run's own manager.
+
+    Accepts any of: a run dir (containing `checkpoints/`), a checkpoints
+    root (containing numbered step dirs; latest is used), or a single
+    numbered step dir. Raises FileNotFoundError rather than silently
+    falling back to random init.
+    """
+    p = Path(path).absolute()
+    if not p.exists():
+        raise FileNotFoundError(f"checkpoint path does not exist: {p}")
+    if (p / "checkpoints").is_dir():
+        p = p / "checkpoints"
+    if p.name.isdigit():
+        root, step = p.parent, int(p.name)
+    else:
+        root, step = p, None
+    mgr = ocp.CheckpointManager(root)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint steps under {root}")
+    restored = mgr.restore(
+        step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, state_template._asdict()))
+    )
+    return type(state_template)(**restored)

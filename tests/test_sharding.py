@@ -77,6 +77,42 @@ def test_tp_rules_shard_attention_projections():
     assert any("tp" in str(s.spec) for s in attn_sharded)
 
 
+def test_tp_sharded_gradients_match():
+    """TP layout must leave loss *gradients* unchanged too — forward parity
+    alone would miss collectives inserted wrongly in the backward."""
+    model, batch = _model_and_batch(4)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(1)
+
+    grad_fn = jax.jit(jax.grad(lambda p, b, k: model.loss(p, b, k)[0]))
+    g_ref = grad_fn(params, batch, rng)
+
+    mesh = make_mesh(8, dp=4, tp=2)
+    sparams = shard_params(mesh, params)
+    with mesh:
+        sbatch = shard_batch(mesh, batch)
+        g_tp = grad_fn(sparams, sbatch, rng)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    flat_tp = jax.tree_util.tree_leaves(g_tp)
+    for a, b in zip(flat_ref, flat_tp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-3)
+
+
+def test_tp_rules_shard_fusion_mlp():
+    """The Megatron fusion-MLP layout the docstring promises: Dense_0
+    column-parallel, Dense_1 row-parallel."""
+    model, batch = _model_and_batch(4)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    mesh = make_mesh(8, dp=4, tp=2)
+    rules = param_sharding_rules(mesh, params)
+    flat = jax.tree_util.tree_flatten_with_path(rules)[0]
+    d0 = [s.spec for p, s in flat if "fusion" in str(p) and "Dense_0" in str(p) and "kernel" in str(p)]
+    d1 = [s.spec for p, s in flat if "fusion" in str(p) and "Dense_1" in str(p) and "kernel" in str(p)]
+    assert d0 and d1, "fusion MLP kernels not found"
+    assert all(s == jax.sharding.PartitionSpec(None, "tp") for s in d0)
+    assert all(s == jax.sharding.PartitionSpec("tp", None) for s in d1)
+
+
 def test_auto_mesh_divides_batch():
     for bs in (1, 2, 3, 5, 8, 12):
         mesh = auto_mesh(bs)
