@@ -40,6 +40,10 @@ def add_3d_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--max_num_part", type=int, default=20)
     ap.add_argument("--min_num_part", type=int, default=2)
     ap.add_argument("--use_6dof_rot", action="store_true", default=False)
+    ap.add_argument(
+        "--use_vn_dgcnn_equiv_inv_mp", action="store_true", default=False,
+        help="equiv/inv split message passing (reference efficient_gat_3d.py:69)",
+    )
     ap.add_argument("--missing", type=int, default=0)
     ap.add_argument("--num_iter", type=int, default=1)
     ap.add_argument("--export_meshes", action="store_true", default=False)
@@ -64,6 +68,7 @@ def build_3d(args):
         n_layers=args.n_layers,
         max_num_part=args.max_num_part,
         use_6dof=bool(args.use_6dof_rot),
+        equiv_inv_mp=bool(args.use_vn_dgcnn_equiv_inv_mp),
         freeze_backbone=bool(args.freeze_backbone),
         compute_dtype=args.compute_dtype,
     )

@@ -63,6 +63,10 @@ class Diffusion3DConfig:
     heads: int = 8
     max_num_part: int = 20
     use_6dof: bool = False
+    # reference use_vn_dgcnn_equiv_inv_mp (efficient_gat_3d.py:69,187-203):
+    # split message passing — queries/skip from equivariant features, keys/
+    # values from invariant ones. Only meaningful with backbone="vn_dgcnn".
+    equiv_inv_mp: bool = False
     freeze_backbone: bool = False
     diffuse_rotation: bool = True     # False → translation-only legacy variant
     diffuse_translation: bool = True  # False → rotation-only legacy variant
@@ -80,7 +84,12 @@ class Diffusion3D:
     def __init__(self, config: Diffusion3DConfig):
         self.cfg = config
         self.sched = DiffusionSchedule.create(config.steps, config.scheduler)
-        self.encoder, feat_dim = make_point_encoder(config.backbone, dtype=config.dtype)
+        backbone = config.backbone
+        if config.equiv_inv_mp:
+            if backbone != "vn_dgcnn":
+                raise ValueError("equiv_inv_mp requires backbone='vn_dgcnn'")
+            backbone = "vn_dgcnn_equiv_inv"  # [equiv(768) ‖ inv(256)] features
+        self.encoder, feat_dim = make_point_encoder(backbone, dtype=config.dtype)
         self.denoiser = GraphDenoiser3D(
             steps=config.steps,
             input_channels=13 if config.use_6dof else 7,
@@ -91,6 +100,8 @@ class Diffusion3D:
             hidden_dim=config.hidden_dim,
             heads=config.heads,
             use_6dof=config.use_6dof,
+            equiv_inv_mp=config.equiv_inv_mp,
+            equiv_dim=768,
             attention_impl=config.attention_impl,
             remat=config.remat,
             dtype=config.dtype,

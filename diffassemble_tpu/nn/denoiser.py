@@ -161,6 +161,12 @@ class GraphDenoiser3D(nn.Module):
     hidden_dim: int = 256
     heads: int = 8
     use_6dof: bool = False
+    # equiv/inv split message passing (reference use_vn_dgcnn_equiv_inv_mp,
+    # efficient_gat_3d.py:187-203): feats must be [equiv(:equiv_dim) ‖ inv];
+    # queries/skip see only the equivariant slice, keys/values only the
+    # invariant slice. Requires architecture="transformer".
+    equiv_inv_mp: bool = False
+    equiv_dim: int = 768
     attention_impl: str = "auto"
     remat: bool = False
     dtype: Dtype = jnp.float32
@@ -172,22 +178,47 @@ class GraphDenoiser3D(nn.Module):
         pos_feats = nn.Sequential(
             [nn.Dense(16, dtype=self.dtype), nn.gelu, nn.Dense(32, dtype=self.dtype)]
         )(x_t)
-        combined = jnp.concatenate([feats.astype(self.dtype), pos_feats, time_feats], axis=-1)
         # 3D fusion MLP uses LeakyReLU(0.2) and 256 hidden (efficient_gat_3d.py:136-141)
-        combined = FusionMLP(256, combined_dim, dtype=self.dtype, activation="leaky_relu", name="fusion")(combined)
+        fusion = FusionMLP(256, combined_dim, dtype=self.dtype, activation="leaky_relu", name="fusion")
 
-        gnn = make_gnn(
-            self.architecture,
-            output_size=combined_dim,
-            n_layers=self.n_layers,
-            hidden_dim=self.hidden_dim,
-            heads=self.heads,
-            virt_nodes=self.virt_nodes,
-            dtype=self.dtype,
-            attention_impl=self.attention_impl,
-            remat=self.remat,
-        )
-        h, attentions = gnn(combined, adj, node_mask, return_weights=return_attentions)
+        if self.equiv_inv_mp:
+            if self.architecture != "transformer":
+                raise ValueError("equiv_inv_mp requires architecture='transformer'")
+            from .gnn import DualStreamGraphTransformer
+
+            f = feats.astype(self.dtype)
+            # split BEFORE fusion, where the [equiv ‖ inv] channel layout is
+            # still real (the reference zeroes post-MLP channels, where it
+            # isn't — see DualStreamGraphTransformer docstring)
+            f_e = f.at[..., self.equiv_dim :].set(0.0)
+            f_i = f.at[..., : self.equiv_dim].set(0.0)
+            combined = fusion(jnp.concatenate([f_e, pos_feats, time_feats], axis=-1))
+            combined_i = fusion(jnp.concatenate([f_i, pos_feats, time_feats], axis=-1))
+            gnn = DualStreamGraphTransformer(
+                hidden_dim=self.hidden_dim, heads=self.heads,
+                output_size=combined_dim, n_layers=self.n_layers,
+                dtype=self.dtype, attention_impl=self.attention_impl,
+                remat=self.remat,
+            )
+            h, attentions = gnn(
+                combined, combined_i, adj, node_mask, return_weights=return_attentions
+            )
+        else:
+            combined = fusion(
+                jnp.concatenate([feats.astype(self.dtype), pos_feats, time_feats], axis=-1)
+            )
+            gnn = make_gnn(
+                self.architecture,
+                output_size=combined_dim,
+                n_layers=self.n_layers,
+                hidden_dim=self.hidden_dim,
+                heads=self.heads,
+                virt_nodes=self.virt_nodes,
+                dtype=self.dtype,
+                attention_impl=self.attention_impl,
+                remat=self.remat,
+            )
+            h, attentions = gnn(combined, adj, node_mask, return_weights=return_attentions)
         resid = h + combined
 
         t_channels = 9 if self.use_6dof else 3

@@ -35,14 +35,24 @@ class TransformerConvLayer(nn.Module):
     attention_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, adj, return_weights: bool = False):
+    def __call__(self, x, adj, return_weights: bool = False, kv=None, skip_only: bool = False):
+        """`kv` supplies a separate key/value stream (queries and skip still
+        come from x); `skip_only` applies just the skip projection — together
+        these realize the reference's node-duplication split message passing
+        (efficient_gat_3d.py:187-203) without doubling the node set: a
+        duplicated source copy with redirected edges is exactly k/v from the
+        copy and q/skip from the original, with the copy itself evolving by
+        its skip projection alone (it receives no edges)."""
         b, n, _ = x.shape
         h, dh = self.heads, self.out_channels // self.heads
         dense = lambda name: nn.Dense(self.out_channels, dtype=self.dtype, name=name)
-        q = dense("query")(x).reshape(b, n, h, dh)
-        k = dense("key")(x).reshape(b, n, h, dh)
-        v = dense("value")(x).reshape(b, n, h, dh)
         skip = dense("skip")(x)
+        if skip_only:
+            return skip
+        src = x if kv is None else kv
+        q = dense("query")(x).reshape(b, n, h, dh)
+        k = dense("key")(src).reshape(b, n, h, dh)
+        v = dense("value")(src).reshape(b, n, h, dh)
         if return_weights:
             out, w = masked_attention(q, k, v, adj, return_weights=True)
         else:
@@ -80,6 +90,69 @@ class GraphTransformer(nn.Module):
         )(x, adj, return_weights=return_weights)
         if return_weights:
             return out  # (x, weights)
+        return out, None
+
+
+class _DualConvLayer(nn.Module):
+    """One split-message-passing layer over two streams with SHARED weights
+    (the reference applies the same TransformerConv to the duplicated node
+    set): the equivariant stream attends with k/v drawn from the invariant
+    stream; the invariant stream advances by the skip projection alone."""
+
+    out_channels: int
+    heads: int = 8
+    dtype: Dtype = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x_e, x_i, adj):
+        layer = TransformerConvLayer(
+            self.out_channels, self.heads, dtype=self.dtype,
+            attention_impl=self.attention_impl, name="conv",
+        )
+        e = layer(x_e, adj, kv=x_i)
+        i = layer(x_i, adj, skip_only=True)
+        return e, i
+
+
+class DualStreamGraphTransformer(nn.Module):
+    """TPU-native equivalent of the reference's `use_vn_dgcnn_equiv_inv_mp`
+    trick (efficient_gat_3d.py:187-203), which duplicates every node and
+    shifts edge sources onto the copy so that messages carry invariant
+    features while node state stays equivariant. Duplication would double the
+    attention cost on padded (B, N) arrays; two feature streams through the
+    same weights are mathematically identical and keep the N×N mask.
+
+    (The reference's shipped code also zeroes the wrong clone in-place —
+    `combined_feats_equivariant[:, :768] = 0` on the copy that already had
+    [768:1024) cleared — and slices channels *after* its fusion MLP where the
+    equiv/inv layout no longer exists. We implement the documented intent:
+    the caller splits features *before* fusion.)"""
+
+    hidden_dim: int = 256
+    heads: int = 8
+    output_size: int = 256
+    n_layers: int = 4
+    dtype: Dtype = jnp.float32
+    attention_impl: str = "auto"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x_e, x_i, adj, node_mask, return_weights: bool = False):
+        del node_mask  # validity already folded into adj
+        layer_cls = nn.remat(_DualConvLayer) if self.remat else _DualConvLayer
+        for i in range(self.n_layers - 1):
+            x_e, x_i = layer_cls(
+                self.hidden_dim, self.heads, dtype=self.dtype,
+                attention_impl=self.attention_impl, name=f"layer_{i}",
+            )(x_e, x_i, adj)
+            x_e, x_i = nn.gelu(x_e), nn.gelu(x_i)
+        out = TransformerConvLayer(
+            self.output_size, self.heads, dtype=self.dtype,
+            attention_impl=self.attention_impl, name=f"layer_{self.n_layers - 1}",
+        )(x_e, adj, kv=x_i, return_weights=return_weights)
+        if return_weights:
+            return out
         return out, None
 
 

@@ -124,6 +124,8 @@ def make_point_encoder(name: str, dtype: Dtype = jnp.float32):
         "pointnet_plus": (lambda: PointNetPlus(feat_dim=256, dtype=dtype), 256),
         "vn_dgcnn": (lambda: VN_DGCNN(feat_dim=128, dtype=dtype), 768),
         "vn_dgcnn_inv": (lambda: VN_DGCNN(feat_dim=128, invariant=True, dtype=dtype), 256),
+        # [equiv(768) ‖ inv(256)] layout for equiv/inv split message passing
+        "vn_dgcnn_equiv_inv": (lambda: VN_DGCNN(feat_dim=128, both=True, dtype=dtype), 1024),
         "vnn": (lambda: VNPointNetEncoder(output_dim=2104, dtype=dtype), 2104),
     }
     if name not in table:

@@ -163,12 +163,16 @@ class VN_DGCNN(nn.Module):
 
     Input (B, N, 3) points → equivariant (B, 2·feat_dim·3) features
     (default feat_dim=128 → 768 dims), or invariant (B, 2·feat_dim) with
-    `invariant=True` (the reference's vn_dgcnn_inv, 256 dims).
+    `invariant=True` (the reference's vn_dgcnn_inv, 256 dims), or the
+    concatenation [equivariant ‖ invariant] (768+256=1024) with `both=True`
+    — the feature layout the reference's equiv/inv split message passing
+    assumes (efficient_gat_3d.py:86 comment "[equi, inv]").
     """
 
     feat_dim: int = 128
     n_knn: int = 20
     invariant: bool = False
+    both: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -202,11 +206,19 @@ class VN_DGCNN(nn.Module):
         if self.invariant:
             x_std, _ = VNStdFeature(dtype=self.dtype)(h)
             return x_std.mean(axis=-1)  # (B, 2·feat) rotation-invariant
+        if self.both:
+            x_std, _ = VNStdFeature(dtype=self.dtype)(h)
+            inv = x_std.mean(axis=-1)  # (B, 2·feat)
+            return jnp.concatenate([h.reshape(b, -1), inv], axis=-1)  # (B, 8·feat)
         return h.reshape(b, -1)  # (B, 2·feat·3) equivariant
 
     @property
     def output_dim(self) -> int:
-        return 2 * self.feat_dim if self.invariant else 6 * self.feat_dim
+        if self.invariant:
+            return 2 * self.feat_dim
+        if self.both:
+            return 8 * self.feat_dim
+        return 6 * self.feat_dim
 
 
 class VNPointNetEncoder(nn.Module):

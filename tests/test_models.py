@@ -92,8 +92,9 @@ def tiny_3d_batch(b=2, p=4, n_pts=64):
 
 
 def tiny_3d_model(**kw):
+    kw.setdefault("backbone", "pointnet")
     cfg = Diffusion3DConfig(
-        steps=10, inference_ratio=5, backbone="pointnet", n_layers=2,
+        steps=10, inference_ratio=5, n_layers=2,
         hidden_dim=32, heads=4, max_num_part=4, **kw,
     )
     return Diffusion3D(cfg)
@@ -148,6 +149,35 @@ class TestDiffusion3D:
         assert np.isfinite(float(loss))
         final, _ = model.sample(params, batch, jax.random.PRNGKey(2))
         assert final.shape == (2, 4, 13)
+
+    def test_equiv_inv_split_message_passing(self):
+        """The use_vn_dgcnn_equiv_inv_mp path (reference
+        efficient_gat_3d.py:187-203): forward + loss + grads work, and BOTH
+        streams are live — perturbing the invariant feature slice must change
+        the output (keys/values), as must the equivariant slice (queries)."""
+        batch = tiny_3d_batch()
+        model = tiny_3d_model(backbone="vn_dgcnn", equiv_inv_mp=True)
+        assert model.denoiser.feature_dim == 1024  # [equiv 768 ‖ inv 256]
+        params = model.init(jax.random.PRNGKey(0), batch)
+        loss, _ = model.loss(params, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+        g = jax.grad(lambda p: model.loss(p, batch, jax.random.PRNGKey(2))[0])(params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+        feats = model.pcd_features(params, batch.pcds)
+        x = batch.x0
+        t = jnp.zeros(x.shape[:2], dtype=jnp.int32)
+        base = model.denoise(params, x, t, feats, batch.adj, batch.node_mask)
+        bump_inv = feats.at[..., 768:].add(1.0)
+        bump_equiv = feats.at[..., :768].add(1.0)
+        out_inv = model.denoise(params, x, t, bump_inv, batch.adj, batch.node_mask)
+        out_equiv = model.denoise(params, x, t, bump_equiv, batch.adj, batch.node_mask)
+        assert np.abs(np.asarray(out_inv - base)).max() > 1e-6, "invariant (k/v) stream dead"
+        assert np.abs(np.asarray(out_equiv - base)).max() > 1e-6, "equivariant (q/skip) stream dead"
+
+    def test_equiv_inv_mp_requires_vn_dgcnn(self):
+        with pytest.raises(ValueError):
+            tiny_3d_model(backbone="pointnet", equiv_inv_mp=True)
 
 
 @pytest.mark.slow
