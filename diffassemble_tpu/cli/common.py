@@ -69,7 +69,11 @@ def add_2d_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--rotation", type=str2bool, default=False)
     ap.add_argument("--only_rotation", action="store_true", default=False)
     ap.add_argument("--freeze_backbone", type=str2bool, default=False)
-    ap.add_argument("--visual_pretrained", type=str2bool, default=True)
+    # reference default is True (train_script.py:282) with weights fetched by
+    # timm; this build has no egress, so pretrained is opt-in and requires a
+    # locally converted weights file (scripts/convert_efficientnet.py)
+    ap.add_argument("--visual_pretrained", type=str2bool, default=False)
+    ap.add_argument("--visual_weights", type=str, default="weights/efficientnet_b0_features.npz")
     ap.add_argument("--discrete", type=str2bool, default=False)
     ap.add_argument("--cold_diffusion", type=str2bool, default=False)
     ap.add_argument("--loss_type", type=str, default="huber")
@@ -102,6 +106,8 @@ def build_2d_model(args) -> Diffusion2D:
         n_layers=args.n_layers,
         virt_nodes=args.virt_nodes,
         freeze_backbone=bool(args.freeze_backbone),
+        visual_pretrained=bool(args.visual_pretrained),
+        visual_weights=args.visual_weights,
         all_equivariant=bool(args.all_equivariant),
         compute_dtype=args.compute_dtype,
     )

@@ -55,6 +55,12 @@ class Diffusion2DConfig:
     hidden_dim: int = 256
     heads: int = 8
     freeze_backbone: bool = False
+    # ImageNet-pretrained visual features (reference visual_pretrained=True
+    # default, train_script.py:282). No weights ship in this no-egress build:
+    # when True, `visual_weights` must point at a converted npz
+    # (scripts/convert_efficientnet.py); init() fails loudly if it doesn't.
+    visual_pretrained: bool = False
+    visual_weights: str = "weights/efficientnet_b0_features.npz"
     all_equivariant: bool = False
     two_heads: bool = False
     learning_rate: float = 1e-4
@@ -77,7 +83,9 @@ class Diffusion2D:
     def __init__(self, config: Diffusion2DConfig):
         self.cfg = config
         self.sched = DiffusionSchedule.create(config.steps, config.scheduler)
-        self.encoder = make_visual_encoder(config.backbone, dtype=config.dtype)
+        self.encoder = make_visual_encoder(
+            config.backbone, dtype=config.dtype, pretrained=config.visual_pretrained
+        )
         feat_dim = 1088
         self.denoiser = GraphDenoiser2D(
             steps=config.steps,
@@ -109,7 +117,12 @@ class Diffusion2D:
             jnp.ones((1, n, n), dtype=bool),
             jnp.ones((1, n), dtype=bool),
         )
-        return {"encoder": enc_params["params"], "denoiser": den_params["params"]}
+        params = {"encoder": enc_params["params"], "denoiser": den_params["params"]}
+        if self.cfg.visual_pretrained:
+            from ..nn.efficientnet import load_pretrained_features
+
+            params = load_pretrained_features(params, self.cfg.visual_weights)
+        return params
 
     # -------------------------------------------------------------- features
 

@@ -143,7 +143,9 @@ class DiscreteDiffusion2D(Diffusion2D):
     def __init__(self, config: DiscreteDiffusion2DConfig):
         self.cfg = config
         self.sched = DiffusionSchedule.create(config.steps, config.scheduler)
-        self.encoder = make_visual_encoder(config.backbone, dtype=config.dtype)
+        self.encoder = make_visual_encoder(
+            config.backbone, dtype=config.dtype, pretrained=config.visual_pretrained
+        )
         self.denoiser = GraphDenoiser2D(
             steps=config.steps,
             feature_dim=1088,
@@ -175,7 +177,12 @@ class DiscreteDiffusion2D(Diffusion2D):
             jnp.ones((1, n), dtype=bool),
             **kwargs,
         )
-        return {"encoder": enc_params["params"], "denoiser": den_params["params"]}
+        params = {"encoder": enc_params["params"], "denoiser": den_params["params"]}
+        if self.cfg.visual_pretrained:
+            from ..nn.efficientnet import load_pretrained_features
+
+            params = load_pretrained_features(params, self.cfg.visual_weights)
+        return params
 
     def denoise_logits(self, params, x_idx, t, feats, adj, node_mask, rot_idx=None):
         kwargs = {"rot_t": rot_idx} if self.cfg.rotation else {}

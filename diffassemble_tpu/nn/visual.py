@@ -430,9 +430,21 @@ class TinyPatchEncoder(nn.Module):
         return nn.Dense(self.feature_dim, dtype=self.dtype)(x)
 
 
-def make_visual_encoder(name: str, dtype: Dtype = jnp.float32) -> nn.Module:
-    """Backbone switch mirroring Eff_GAT (efficient_gat.py:37-51)."""
-    if name in ("efficientnet_b0", "convnet"):
+def make_visual_encoder(
+    name: str, dtype: Dtype = jnp.float32, pretrained: bool = False
+) -> nn.Module:
+    """Backbone switch mirroring Eff_GAT (efficient_gat.py:37-51).
+
+    "efficientnet_b0" is the faithful B0 feature tower (nn/efficientnet.py):
+    with `pretrained` its BatchNorms run in folded-affine mode so converted
+    timm running statistics apply exactly; from scratch they use batch
+    statistics. "convnet" keeps the lighter from-scratch PatchConvEncoder
+    with the same 1088-d output contract."""
+    if name == "efficientnet_b0":
+        from .efficientnet import EfficientNetB0Features
+
+        return EfficientNetB0Features(bn_mode="affine" if pretrained else "batch", dtype=dtype)
+    if name == "convnet":
         return PatchConvEncoder(dtype=dtype)
     if name == "resnet18equiv":
         return EquivariantResNet18(dtype=dtype)
