@@ -47,6 +47,57 @@ def test_kernel_gradients_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_kernel_gradients_match_multiblock():
+    """n=256 → two q/k blocks: exercises the dkv kernel's cross-block L/Δ
+    consumption and the dq kernel's per-block recompute."""
+    q, k, v, mask = _rand(n=256, seed=3)
+    g = jax.random.normal(jax.random.PRNGKey(9), q.shape[:2] + (256, q.shape[-1]))
+
+    def lp(q, k, v):
+        return jnp.vdot(flash_masked_attention(q, k, v, mask, 128, True), g)
+
+    def lr(q, k, v):
+        return jnp.vdot(_xla_reference(q, k, v, mask), g)
+
+    g1 = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_kernel_gradients_empty_rows_and_cols():
+    """Padding rows (no outgoing edges) must get zero dQ; never-attended
+    columns must get zero dK/dV — and nothing may go NaN."""
+    q, k, v, mask = _rand(n=128, seed=4)
+    mask = mask.at[:, -20:, :].set(False)  # empty query rows
+    mask = mask.at[:, :, -10:].set(False)  # never-attended keys
+
+    def lp(q, k, v):
+        return jnp.sum(flash_masked_attention(q, k, v, mask, 128, True) ** 2)
+
+    dq, dk, dv = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
+    for g_ in (dq, dk, dv):
+        assert np.isfinite(np.asarray(g_)).all()
+    assert np.all(np.asarray(dq)[:, :, -20:, :] == 0.0)
+    assert np.all(np.asarray(dk)[:, :, -10:, :] == 0.0)
+    assert np.all(np.asarray(dv)[:, :, -10:, :] == 0.0)
+
+
+def test_xla_backward_flag_matches_fused():
+    q, k, v, mask = _rand(n=128, seed=5)
+
+    def fused(q, k, v):
+        return jnp.sum(flash_masked_attention(q, k, v, mask, 128, True, False) ** 2)
+
+    def xla_b(q, k, v):
+        return jnp.sum(flash_masked_attention(q, k, v, mask, 128, True, True) ** 2)
+
+    g1 = jax.grad(fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(xla_b, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_wrapper_pads_odd_n():
     """The (B, N, H, Dh) wrapper must pad N=200 to a block multiple and match
     the XLA path."""
