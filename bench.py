@@ -76,6 +76,8 @@ def main() -> None:
         return model.sample(params, batch, key).final
 
     key = jax.random.PRNGKey(1)
+    lowered = run.lower(params, batch, key)
+    compiled = lowered.compile()
     out = run(params, batch, key)
     out.block_until_ready()  # compile + warmup
 
@@ -88,16 +90,32 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
 
     s_per_puzzle = min(times) / BATCH
-    print(
-        json.dumps(
-            {
-                "metric": "celeba_30x30_sampling_latency",
-                "value": round(s_per_puzzle, 4),
-                "unit": "s/puzzle",
-                "vs_baseline": round(5.0 / s_per_puzzle, 2),
-            }
-        )
-    )
+
+    # MFU: compiled-executable FLOPs (XLA cost analysis) vs the chip's bf16
+    # peak — judges "fast" against hardware speed-of-light, not just the
+    # reference's wall clock (VERDICT.md round-1 item #10)
+    mfu = flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        peak = {"tpu": 197e12}.get(jax.default_backend())  # v5e bf16 peak FLOP/s
+        if flops > 0 and peak:
+            mfu = flops / min(times) / peak
+    except Exception:
+        pass
+
+    rec = {
+        "metric": "celeba_30x30_sampling_latency",
+        "value": round(s_per_puzzle, 4),
+        "unit": "s/puzzle",
+        "vs_baseline": round(5.0 / s_per_puzzle, 2),
+    }
+    if flops:
+        rec["sampler_gflops"] = round(flops / 1e9, 1)
+    if mfu is not None:
+        rec["mfu"] = round(mfu, 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
