@@ -266,6 +266,38 @@ class Diffusion2D:
             "n_valid": n_valid,
         }
 
+    def piece_table(self, final: jnp.ndarray, batch) -> dict:
+        """Per-piece failure breakdown for error analysis (VERDICT r1 weak #9:
+        *which* pieces drag puzzle accuracy below piece accuracy). Returns
+        per-piece arrays (B, N); host-side aggregation slices them by grid
+        position (border vs interior) and rotation class."""
+        cfg = self.cfg
+        valid = batch.node_mask
+        pred_pos = final[..., :2]
+        pred_ass = greedy_assignment_batch(pred_pos, batch.grid, valid)
+        gt_ass = greedy_assignment_batch(batch.x0[..., :2], batch.grid, valid)
+        pos_correct = (pred_ass == gt_ass) & valid
+        out = {
+            "pos_correct": pos_correct,
+            "pred_ass": pred_ass,
+            "gt_ass": gt_ass,
+            "valid": valid,
+            # raw position error before assignment snapping
+            "pos_err": jnp.linalg.norm(pred_pos - batch.x0[..., :2], axis=-1),
+            "gt_pos": batch.x0[..., :2],
+        }
+        if cfg.rotation:
+            pred_rot = final[..., 2:4]
+            gt_rot = batch.x0[..., 2:4]
+            cos = jnp.sum(pred_rot * gt_rot, axis=-1) / jnp.maximum(
+                jnp.linalg.norm(pred_rot, axis=-1) * jnp.linalg.norm(gt_rot, axis=-1),
+                1e-8,
+            )
+            out["rot_correct"] = cos > math.cos(math.pi / 4)
+            out["rot_cos"] = cos
+            out["gt_rot"] = gt_rot
+        return out
+
     # ------------------------------------------------------------- optimizer
 
     def make_optimizer(self) -> optax.GradientTransformation:

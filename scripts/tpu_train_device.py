@@ -1,0 +1,141 @@
+"""Quality training runs over a device-resident corpus (train/device_data.py).
+
+The whole padded dataset lives in HBM; every train step samples indices,
+gathers the batch, and re-rolls rotation augmentation ON DEVICE — steady-state
+training never touches the host (round 1 measured the axon host tunnel as the
+2D training bottleneck). Periodic full-sampler eval + monitored checkpoints
+are bench.py/evaluate-CLI compatible.
+
+Recipes:
+  # flagship rotation recipe (reference train_celeba_rot.sh), 6x6
+  python scripts/tpu_train_device.py --run_dir runs/quality-rot6 --hw 6 \
+      --rotation 1 --backbone resnet18equiv --architecture exophormer \
+      --degree 60% --batch_size 64 --max_steps 12000
+  # 30x30 headline config (reference README.md:33-37)
+  python scripts/tpu_train_device.py --run_dir runs/quality-900 --hw 30 \
+      --rotation 1 --backbone efficientnet_b0 --architecture exophormer \
+      --degree 10% --batch_size 8 --train_n 512 --max_steps 12000
+"""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+import argparse
+import time
+
+t0 = time.time()
+def tick(m): print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from diffassemble_tpu.data.datasets import SyntheticImages
+from diffassemble_tpu.models.diffusion_2d import Diffusion2D, Diffusion2DConfig
+from diffassemble_tpu.train.checkpoint import CheckpointManager
+from diffassemble_tpu.train.device_data import (
+    build_device_data,
+    gather_batch,
+    make_device_train_step,
+)
+from diffassemble_tpu.train.metrics import MeanMetrics, update_puzzle_metrics
+from diffassemble_tpu.train.train_state import create_train_state
+from diffassemble_tpu.train.trainer import JsonlLogger
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--run_dir", required=True)
+    ap.add_argument("--hw", type=int, default=6)
+    ap.add_argument("--rotation", type=int, default=1)
+    ap.add_argument("--backbone", default="resnet18equiv")
+    ap.add_argument("--architecture", default="exophormer")
+    ap.add_argument("--degree", default="60%")
+    ap.add_argument("--virt_nodes", type=int, default=8)
+    ap.add_argument("--n_layers", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--inference_ratio", type=int, default=10)
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--train_n", type=int, default=4000)
+    ap.add_argument("--eval_n", type=int, default=64)
+    ap.add_argument("--eval_batch", type=int, default=0, help="0 = batch_size")
+    ap.add_argument("--max_steps", type=int, default=12000)
+    ap.add_argument("--eval_every", type=int, default=1000)
+    ap.add_argument("--log_every", type=int, default=50)
+    ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--attention_impl", default="auto")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    hw = (args.hw, args.hw)
+    rotation = bool(args.rotation)
+    cfg = Diffusion2DConfig(
+        steps=args.steps, inference_ratio=args.inference_ratio, sampling="ddim",
+        mean_type="xstart", rotation=rotation, backbone=args.backbone,
+        architecture=args.architecture, virt_nodes=args.virt_nodes,
+        n_layers=args.n_layers, compute_dtype=args.compute_dtype,
+        attention_impl=args.attention_impl,
+    )
+    model = Diffusion2D(cfg)
+    tick(f"devices: {jax.devices()}")
+
+    size_hw = (hw[0] * 32, hw[1] * 32)
+    train_imgs = SyntheticImages(size_hw, n=args.train_n, seed=args.seed, cache=False)
+    eval_imgs = SyntheticImages(size_hw, n=args.eval_n, seed=args.seed + 1000, cache=False)
+    data = build_device_data(train_imgs, hw, args.train_n, degree=args.degree, seed=args.seed)
+    eval_data = build_device_data(eval_imgs, hw, args.eval_n, degree=args.degree, seed=args.seed)
+    gb = float(data.patches.nbytes) / 1e9
+    tick(f"corpus resident: {data.patches.shape} ({gb:.2f} GB uint8)")
+
+    first = gather_batch(data, jnp.arange(1), jax.random.PRNGKey(0) if rotation else None)
+    params = model.init(jax.random.PRNGKey(args.seed), first)
+    opt = model.make_optimizer()
+    state = create_train_state(params, opt, jax.random.PRNGKey(args.seed + 1))
+    ckpt = CheckpointManager(f"{args.run_dir}/checkpoints", "overall_acc", "max")
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        tick(f"resumed from step {int(state.step)}")
+    ckpt.save_config(cfg)
+    logger = JsonlLogger(args.run_dir)
+
+    train_step = make_device_train_step(model.loss, opt, rotation=rotation)
+    eval_fn = jax.jit(model.evaluate)
+
+    eval_bs = args.eval_batch or args.batch_size
+
+    def run_eval(params, tag):
+        agg = MeanMetrics()
+        for lo in range(0, args.eval_n, eval_bs):
+            idx = jnp.arange(lo, min(lo + eval_bs, args.eval_n))
+            # fixed rotation key per eval batch → reproducible held-out set
+            eb = gather_batch(
+                eval_data, idx, jax.random.fold_in(jax.random.PRNGKey(99), lo) if rotation else None
+            )
+            bm = eval_fn(params, eb, jax.random.fold_in(jax.random.PRNGKey(7), lo))
+            update_puzzle_metrics(agg, bm, np.asarray(eb.patches_dim), np.asarray(eb.node_mask))
+        m = agg.compute()
+        logger.log(-1, {f"{tag}/{k}": v for k, v in m.items()})
+        return m
+
+    step = int(state.step)
+    t_last = time.time()
+    while step < args.max_steps:
+        state, aux = train_step(state, data, args.batch_size)
+        step = int(state.step)
+        if step % args.log_every == 0 or step == 1:
+            dt = time.time() - t_last
+            t_last = time.time()
+            logger.log(step, {**aux, "steps_per_s": args.log_every / max(dt, 1e-9)})
+        if step % args.eval_every == 0 or step == args.max_steps:
+            m = run_eval(state.params, "val")
+            ckpt.save(step, state, m)
+            t_last = time.time()
+    m = run_eval(state.params, "final")
+    tick(f"final: overall_acc={m.get('overall_acc', float('nan')):.4f} "
+         f"piece_acc={m.get('overall__piece_acc', float('nan')):.4f}")
+
+
+if __name__ == "__main__":
+    main()
