@@ -143,8 +143,10 @@ def build_2d_datasets(args):
 
 def run_2d(args) -> None:
     from ..train.trainer import Trainer
+    from ..parallel.distributed import initialize
     from ..parallel.mesh import make_mesh
 
+    initialize()  # multi-host no-op on one host (docs/MULTIHOST.md)
     model = build_2d_model(args)
     train_ds, test_ds, sizes = build_2d_datasets(args)
     run_dir = args.run_dir or f"runs/{args.dataset}-{'x'.join(map(str, args.puzzle_sizes))}"

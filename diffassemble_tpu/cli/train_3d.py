@@ -87,9 +87,11 @@ def build_3d(args):
 def run_3d(args, missing: int = 0) -> None:
     import numpy as np
 
+    from ..parallel.distributed import initialize
     from ..parallel.mesh import make_mesh
     from ..train.trainer import Trainer, fragment_adapter
 
+    initialize()  # multi-host no-op on one host (docs/MULTIHOST.md)
     model, train_ds, test_ds, cats = build_3d(args)
     run_dir = args.run_dir or f"runs/3d-{args.dataset}-{args.backbone}"
     import jax

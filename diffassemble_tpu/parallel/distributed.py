@@ -26,8 +26,17 @@ def initialize(
     num_processes: int | None = None,
     process_id: int | None = None,
 ) -> None:
-    """Initialize the multi-host runtime. With no args, uses TPU metadata
-    autodetection; single-process environments are a no-op."""
+    """Initialize the multi-host runtime. With no args, uses TPU/cluster
+    autodetection (Cloud TPU metadata, SLURM, k8s — jax._src.clusters), or the
+    DIFFASSEMBLE_{COORDINATOR,NUM_PROCESSES,PROCESS_ID} env vars set by
+    scripts/launch_multihost.sh. Single-process environments are a no-op."""
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get("DIFFASSEMBLE_COORDINATOR")
+    if num_processes is None and "DIFFASSEMBLE_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["DIFFASSEMBLE_NUM_PROCESSES"])
+    if process_id is None and "DIFFASSEMBLE_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["DIFFASSEMBLE_PROCESS_ID"])
     try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
     except (ValueError, RuntimeError):
