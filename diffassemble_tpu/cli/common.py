@@ -84,6 +84,11 @@ def add_2d_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--acc_grad", type=int, default=0)
     ap.add_argument("--missing", type=int, default=0)
     ap.add_argument("--compute_dtype", type=str, default="bfloat16")
+    ap.add_argument(
+        "--warmup_steps", type=int, default=500,
+        help="linear LR warmup; 0 = reference HF-Adafactor schedule (which can "
+        "collapse predict-x0 recipes into the grid-mean basin — CLAUDE.md)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--data_root", type=str, default=None)
 
@@ -109,6 +114,7 @@ def build_2d_model(args) -> Diffusion2D:
         visual_pretrained=bool(args.visual_pretrained),
         visual_weights=args.visual_weights,
         all_equivariant=bool(args.all_equivariant),
+        warmup_steps=args.warmup_steps,
         compute_dtype=args.compute_dtype,
     )
     if args.discrete:

@@ -64,6 +64,12 @@ class Diffusion2DConfig:
     all_equivariant: bool = False
     two_heads: bool = False
     learning_rate: float = 1e-4
+    # Linear LR warmup steps. 0 reproduces the reference's HF-Adafactor
+    # schedule exactly — but on TPU the full-size first steps (lr=1e-2 ×
+    # param-scale) can slam predict-x0 models into the grid-mean basin within
+    # 50 steps, where adafactor's param-scale floor makes escape glacial
+    # (measured: runs/rot-diagnose — V0 bistable, V1 warmup500 healthy).
+    warmup_steps: int = 0
     compute_dtype: str = "float32"
     attention_impl: str = "auto"  # xla | pallas | auto
     remat: bool = False  # rematerialize attention layers in backward
@@ -305,6 +311,15 @@ class Diffusion2D:
         `transformers.Adafactor()` defaults (spatial_diffusion.py:701-705):
         lr_t = min(1e-2, 1/sqrt(t)), scaled by the parameter RMS. optax's
         adafactor with learning_rate=None applies RAW unit-RMS updates (which
-        diverges); the explicit schedule below reproduces the HF behavior."""
-        schedule = lambda step: jnp.minimum(1e-2, 1.0 / jnp.sqrt(jnp.maximum(step, 1.0)))
+        diverges); the explicit schedule below reproduces the HF behavior.
+        `warmup_steps` > 0 ramps the schedule linearly from 0 (see the config
+        field's comment for why that matters on TPU)."""
+        warmup = self.cfg.warmup_steps
+
+        def schedule(step):
+            lr = jnp.minimum(1e-2, 1.0 / jnp.sqrt(jnp.maximum(step, 1.0)))
+            if warmup > 0:
+                lr = lr * jnp.minimum(1.0, step / warmup)
+            return lr
+
         return optax.adafactor(learning_rate=schedule, multiply_by_parameter_scale=True)

@@ -272,8 +272,7 @@ class DiscreteDiffusion2D(Diffusion2D):
         }
 
     def make_optimizer(self):
-        schedule = lambda step: jnp.minimum(1e-2, 1.0 / jnp.sqrt(jnp.maximum(step, 1.0)))
-        return optax.adafactor(learning_rate=schedule, multiply_by_parameter_scale=True)
+        return Diffusion2D.make_optimizer(self)  # HF-Adafactor (+ warmup_steps)
 
 
 class DiscreteDiffusion2DRot(DiscreteDiffusion2D):
