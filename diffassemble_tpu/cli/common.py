@@ -84,6 +84,7 @@ def add_2d_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--acc_grad", type=int, default=0)
     ap.add_argument("--missing", type=int, default=0)
     ap.add_argument("--compute_dtype", type=str, default="bfloat16")
+    ap.add_argument("--aux_loss_weight", type=float, default=0.0)
     ap.add_argument(
         "--warmup_steps", type=int, default=500,
         help="linear LR warmup; 0 = reference HF-Adafactor schedule (which can "
@@ -115,6 +116,7 @@ def build_2d_model(args) -> Diffusion2D:
         visual_weights=args.visual_weights,
         all_equivariant=bool(args.all_equivariant),
         warmup_steps=args.warmup_steps,
+        aux_loss_weight=args.aux_loss_weight,
         compute_dtype=args.compute_dtype,
     )
     if args.discrete:

@@ -28,6 +28,11 @@ def main() -> None:
     ap.add_argument("--noise_weight", type=float, default=None)
     ap.add_argument("--save_images", type=str2bool, default=True)
     ap.add_argument("--out_dir", type=str, default="")
+    ap.add_argument(
+        "--calibrate_norm", type=int, default=0,
+        help="pool OrientationNorm stats over N train batches for "
+        "batch-independent inference; saves <run_dir>/norm_stats.npz",
+    )
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -57,7 +62,7 @@ def main() -> None:
     cfg = Diffusion2DConfig(**cfg_dict)
     model = Diffusion2D(cfg)
 
-    _, test_ds, _ = get_dataset(
+    train_ds, test_ds, _ = get_dataset(
         args.dataset, puzzle_sizes=list(args.puzzle_sizes), rotation=cfg.rotation,
         seed=args.seed,
     )
@@ -77,6 +82,23 @@ def main() -> None:
             print(f"restored step {int(restored.step)}")
         else:
             print("WARNING: no checkpoint found, using random init")
+
+    if args.calibrate_norm > 0:
+        from ..nn.visual import save_norm_stats
+
+        def patch_batches():
+            for bi in range(args.calibrate_norm):
+                idxs = range(bi * args.batch_size, (bi + 1) * args.batch_size)
+                nb = collate_puzzles([train_ds[i % len(train_ds)] for i in idxs], train_ds.max_nodes)
+                p = nb.patches.astype(np.float32) / 255.0
+                yield jnp.asarray(p.reshape(-1, *p.shape[2:]))
+
+        stats = model.calibrate_norm_stats({"encoder": params["encoder"]}, patch_batches())
+        if stats:
+            save_norm_stats(f"{args.run_dir}/norm_stats.npz", stats)
+            print(f"calibrated norm stats over {args.calibrate_norm} batches")
+        else:
+            print("encoder has no OrientationNorm layers — calibration skipped")
 
     out_dir = args.out_dir or f"{args.run_dir}/preds"
     rng = jax.random.PRNGKey(args.seed)

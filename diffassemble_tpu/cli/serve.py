@@ -60,6 +60,15 @@ class PuzzleSolver:
         else:
             restored = ckpt.restore(state)
             self.params = restored.params if restored is not None else params
+        import os
+
+        stats_path = f"{run_dir}/norm_stats.npz"
+        if os.path.exists(stats_path):
+            # calibrated OrientationNorm stats → batch-independent inference
+            # (written by `evaluate --calibrate_norm N`)
+            from ..nn.visual import load_norm_stats
+
+            self.model.norm_stats = load_norm_stats(stats_path)
         self._sample = jax.jit(lambda p, b, k: self.model.sample(p, b, k).final)
 
     def predict(self, image) -> "object":

@@ -70,6 +70,14 @@ class Diffusion2DConfig:
     # 50 steps, where adafactor's param-scale floor makes escape glacial
     # (measured: runs/rot-diagnose — V0 bistable, V1 warmup500 healthy).
     warmup_steps: int = 0
+    # Weight of an auxiliary deep-supervision loss on the denoiser's fusion
+    # output (pre-GNN head predicting the same target). 0 = reference parity.
+    # Nonzero keeps gradient flowing into the visual encoder even when the
+    # main head sits in the grid-mean basin — the structural fix for the
+    # collapse measured in runs/rot-diagnose / runs/quality-rot6 (bf16 +
+    # larger batches make the basin sticky; the reference's batch-8 f32 SGD
+    # noise escapes it by luck).
+    aux_loss_weight: float = 0.0
     compute_dtype: str = "float32"
     attention_impl: str = "auto"  # xla | pallas | auto
     remat: bool = False  # rematerialize attention layers in backward
@@ -104,6 +112,7 @@ class Diffusion2D:
             hidden_dim=config.hidden_dim,
             heads=config.heads,
             two_heads=config.two_heads and config.rotation,
+            aux_head=config.aux_loss_weight > 0,
             attention_impl=config.attention_impl,
             remat=config.remat,
             dtype=config.dtype,
@@ -132,6 +141,18 @@ class Diffusion2D:
 
     # -------------------------------------------------------------- features
 
+    def calibrate_norm_stats(self, params: dict, patch_batches) -> dict:
+        """Pool OrientationNorm statistics over calibration batches and attach
+        them for frozen-stats inference (reference BatchNorm3d eval mode;
+        VERDICT r1 weak #7). Returns the stats collection ({} for encoders
+        without OrientationNorm). `patch_batches`: iterable of
+        (B, ps, ps, 3) float arrays in [0,1]."""
+        from ..nn.visual import calibrate_norm_stats as _calibrate
+
+        stats = _calibrate(self.encoder, params["encoder"], patch_batches)
+        self.norm_stats = stats or None
+        return stats
+
     def visual_features(self, params: dict, patches: jnp.ndarray) -> jnp.ndarray:
         """(B, N, ps, ps, 3) → (B, N, F). Computed once per batch, reused
         across all sampling steps (reference spatial_diffusion.py:653).
@@ -143,15 +164,20 @@ class Diffusion2D:
         if jnp.issubdtype(patches.dtype, jnp.integer):
             patches = patches.astype(jnp.float32) / 255.0
         flat = patches.reshape(b * n, *patches.shape[2:])
+        variables = {"params": params["encoder"]}
+        if getattr(self, "norm_stats", None):
+            # frozen calibrated statistics → batch-independent inference
+            # (nn/visual.py calibrate_norm_stats)
+            variables["norm_stats"] = self.norm_stats
         if self.cfg.all_equivariant:
             feats = jnp.stack(
                 [
-                    self.encoder.apply({"params": params["encoder"]}, jnp.rot90(flat, k=k, axes=(1, 2)))
+                    self.encoder.apply(variables, jnp.rot90(flat, k=k, axes=(1, 2)))
                     for k in range(4)
                 ]
             ).mean(0)
         else:
-            feats = self.encoder.apply({"params": params["encoder"]}, flat)
+            feats = self.encoder.apply(variables, flat)
         if self.cfg.freeze_backbone:
             feats = jax.lax.stop_gradient(feats)
         return feats.reshape(b, n, -1)
@@ -182,7 +208,6 @@ class Diffusion2D:
             ).astype(feats.dtype)
             feats = feats * keep
 
-        pred = self.denoise(params, x_noisy, t, feats, batch.adj, batch.node_mask)
         target = batch.x0 if cfg.mean_type == "xstart" else noise
 
         err_fn = {
@@ -190,11 +215,29 @@ class Diffusion2D:
             "l1": lambda p, y: jnp.abs(p - y),
             "l2": lambda p, y: (p - y) ** 2,
         }[cfg.loss_type]
-        per_elem = err_fn(pred, target)  # (B, N, C)
-        mask = batch.node_mask[..., None].astype(per_elem.dtype)
-        n_valid_elems = jnp.sum(mask) * per_elem.shape[-1]
-        loss = jnp.sum(per_elem * mask) / jnp.maximum(n_valid_elems, 1.0)
-        return loss, {"loss": loss, "t_mean": t_graph.mean()}
+        mask = batch.node_mask[..., None].astype(jnp.float32)
+
+        def masked_mean(per_elem):
+            n_valid_elems = jnp.sum(mask) * per_elem.shape[-1]
+            return jnp.sum(per_elem * mask) / jnp.maximum(n_valid_elems, 1.0)
+
+        aux = {}
+        if cfg.aux_loss_weight > 0:
+            pred, aux_pred = self.denoiser.apply(
+                {"params": params["denoiser"]}, x_noisy, t, feats,
+                batch.adj, batch.node_mask, return_aux=True,
+            )
+            pred = pred.astype(jnp.float32)
+            # deep supervision: the fusion-level head predicts x0 too (it can
+            # only do so through the visual features) — keeps dL/dfeat alive
+            aux_loss = masked_mean(err_fn(aux_pred.astype(jnp.float32), batch.x0))
+            aux["aux_loss"] = aux_loss
+        else:
+            pred = self.denoise(params, x_noisy, t, feats, batch.adj, batch.node_mask)
+            aux_loss = 0.0
+        main = masked_mean(err_fn(pred, target))
+        loss = main + cfg.aux_loss_weight * aux_loss
+        return loss, {"loss": main, "total_loss": loss, "t_mean": t_graph.mean(), **aux}
 
     # -------------------------------------------------------------- sampling
 

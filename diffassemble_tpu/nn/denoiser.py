@@ -70,12 +70,20 @@ class GraphDenoiser2D(nn.Module):
     n_classes: int = 0  # K grid cells (discrete mode)
     rot_classes: int = 0  # 4 for the discrete-rotation head
     two_heads: bool = False  # separate (pos, rot) heads — efficient_gat_two_heads.py:58-68
+    # Auxiliary deep-supervision head on the fusion output (pre-GNN): predicts
+    # the same target directly from [visual‖pos‖time], keeping dL/dfeat alive
+    # even when the main head sits in the grid-mean basin (TPU training aid,
+    # no reference analog; inactive at sampling time).
+    aux_head: bool = False
     attention_impl: str = "auto"
     remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_t, t, feats, adj, node_mask, rot_t=None, return_attentions=False):
+    def __call__(
+        self, x_t, t, feats, adj, node_mask, rot_t=None,
+        return_attentions=False, return_aux=False,
+    ):
         combined_dim = self.feature_dim + 32 + 32
         time_feats = nn.Embed(self.steps, 32, dtype=self.dtype, name="time_emb")(t)
 
@@ -94,6 +102,13 @@ class GraphDenoiser2D(nn.Module):
 
         combined = jnp.concatenate([feats.astype(self.dtype), pos_feats, time_feats], axis=-1)
         combined = FusionMLP(128, combined_dim, dtype=self.dtype, name="fusion")(combined)
+
+        aux_out = None
+        if self.aux_head and not self.discrete:
+            a = nn.Dense(32, dtype=self.dtype, name="aux_final_0")(combined)
+            aux_out = nn.Dense(
+                self.output_channels, dtype=self.dtype, name="aux_final_1"
+            )(nn.gelu(a))
 
         gnn = make_gnn(
             self.architecture,
@@ -138,6 +153,8 @@ class GraphDenoiser2D(nn.Module):
                 [nn.Dense(32, dtype=self.dtype), nn.gelu, nn.Dense(self.output_channels, dtype=self.dtype)],
                 name="final",
             )(resid)
+        if return_aux:
+            return (out, attentions, aux_out) if return_attentions else (out, aux_out)
         if return_attentions:
             return out, attentions
         return out

@@ -282,13 +282,22 @@ class GroupConvP4M(nn.Module):
 class OrientationNorm(nn.Module):
     """Batch-statistics norm over (batch, H, W, orientation) per channel — the
     stateless equivalent of the reference's BatchNorm3d in train mode
-    (resnet_equivariant.py:23-26). Statistics are computed per call (eval uses
-    the eval batch's stats), so no running-state collections thread through
-    pjit; under a dp-sharded batch XLA inserts the cross-device reduction.
+    (resnet_equivariant.py:23-26). Statistics are computed per call, so no
+    running-state collections thread through pjit during training; under a
+    dp-sharded batch XLA inserts the cross-device reduction.
 
     Per-SAMPLE (instance) statistics are deliberately NOT used: they erase the
     per-patch mean — exactly the absolute-position signal piece placement
     depends on — and collapse the puzzle model into predicting the grid mean.
+
+    Inference parity (the reference's BatchNorm3d eval mode): if the caller
+    provides a "norm_stats" collection, those frozen statistics are used
+    instead of the batch's, making eval independent of batch composition.
+    The collection is produced by a post-training calibration pass
+    (`calibrate_norm_stats`): applying with `mutable=["norm_stats"]` makes
+    every OrientationNorm sow its batch mean and E[x²] for host-side pooling —
+    the torch BN-recalibration recipe, done as an explicit pass instead of
+    training-time EMA state.
     """
 
     dtype: Dtype = jnp.float32
@@ -300,8 +309,21 @@ class OrientationNorm(nn.Module):
         # statistics in f32: bf16 mean/var over thousands of elements loses
         # enough precision to destabilize deep equivariant stacks
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2, 3), keepdims=True)
-        var = jnp.var(xf, axis=(0, 1, 2, 3), keepdims=True)
+        frozen = (
+            self.has_variable("norm_stats", "var")
+            and not self.is_mutable_collection("norm_stats")
+        )
+        if frozen:
+            mean = self.get_variable("norm_stats", "mean")
+            var = self.get_variable("norm_stats", "var")
+        else:
+            mean = jnp.mean(xf, axis=(0, 1, 2, 3), keepdims=True)
+            var = jnp.var(xf, axis=(0, 1, 2, 3), keepdims=True)
+            if not self.is_initializing():
+                keep = lambda prev, new: new
+                self.sow("norm_stats", "mean", mean, reduce_fn=keep)
+                # second moment (not var): pools exactly across calib batches
+                self.sow("norm_stats", "sq_mean", var + mean * mean, reduce_fn=keep)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
@@ -455,3 +477,53 @@ def make_visual_encoder(
     if name == "tiny":
         return TinyPatchEncoder(dtype=dtype)
     raise ValueError(f"unknown visual backbone {name!r}")
+
+
+# ------------------------------------------------------ norm-stats calibration
+
+
+def calibrate_norm_stats(encoder: nn.Module, enc_params, batches) -> dict:
+    """Pool OrientationNorm statistics over calibration batches into a frozen
+    "norm_stats" collection for batch-independent inference (the reference's
+    BatchNorm3d eval mode, done as an explicit post-training pass — see
+    OrientationNorm's docstring).
+
+    `batches`: iterable of (B, ps, ps, 3) patch arrays (equal batch sizes for
+    exact pooling). Returns {} for encoders without OrientationNorm layers.
+    """
+    import jax
+
+    trees = []
+    for x in batches:
+        _, out = encoder.apply({"params": enc_params}, x, mutable=["norm_stats"])
+        if not out.get("norm_stats"):
+            return {}
+        trees.append(out["norm_stats"])
+    pooled = jax.tree.map(lambda *xs: jnp.stack(xs).mean(0), *trees)
+
+    def finalize(node):
+        if isinstance(node, dict):
+            if set(node) == {"mean", "sq_mean"}:
+                m, s = node["mean"], node["sq_mean"]
+                return {"mean": m, "var": jnp.maximum(s - m * m, 0.0)}
+            return {k: finalize(v) for k, v in node.items()}
+        return node
+
+    return finalize(jax.tree.map(lambda x: x, pooled))  # plain-dict copy
+
+
+def save_norm_stats(path, stats: dict) -> None:
+    import numpy as np
+    from flax.traverse_util import flatten_dict
+
+    flat = {"/".join(k): np.asarray(v) for k, v in flatten_dict(stats).items()}
+    np.savez(path, **flat)
+
+
+def load_norm_stats(path) -> dict:
+    import numpy as np
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(path) as z:
+        flat = {tuple(k.split("/")): jnp.asarray(z[k]) for k in z.files}
+    return unflatten_dict(flat)

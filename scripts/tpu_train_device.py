@@ -65,6 +65,7 @@ def main():
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument("--warmup_steps", type=int, default=500)
+    ap.add_argument("--aux_loss_weight", type=float, default=0.0)
     ap.add_argument("--attention_impl", default="auto")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -76,7 +77,8 @@ def main():
         mean_type="xstart", rotation=rotation, backbone=args.backbone,
         architecture=args.architecture, virt_nodes=args.virt_nodes,
         n_layers=args.n_layers, compute_dtype=args.compute_dtype,
-        warmup_steps=args.warmup_steps, attention_impl=args.attention_impl,
+        warmup_steps=args.warmup_steps, aux_loss_weight=args.aux_loss_weight,
+        attention_impl=args.attention_impl,
     )
     model = Diffusion2D(cfg)
     tick(f"devices: {jax.devices()}")

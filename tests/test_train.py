@@ -160,3 +160,54 @@ def test_fragment_adapter_missing_perc():
     full = fragment_adapter(6, ds.category_names).collate([ds[i] for i in range(4)], 6)
     assert nb.node_mask.sum() < full.node_mask.sum()
     assert (nb.node_mask.sum(1) >= 2).all()
+
+
+def test_aux_feature_loss_keeps_encoder_gradient_alive():
+    """aux_loss_weight>0 adds a fusion-level deep-supervision head whose
+    gradient reaches the visual encoder even if the main head's path is dead
+    (the grid-mean-basin fix — models/diffusion_2d.py aux_loss_weight)."""
+    import jax
+    import numpy as np
+
+    from diffassemble_tpu.data import collate_puzzles, make_puzzle
+    from diffassemble_tpu.models.diffusion_2d import Diffusion2D, Diffusion2DConfig
+
+    rng = np.random.default_rng(0)
+    samples = [
+        {**make_puzzle(rng.random((64, 64, 3), dtype=np.float32), 2, 2, 32, rotation=True, rng=rng),
+         "patches_dim": np.array([2, 2], np.int32)}
+        for _ in range(2)
+    ]
+    nb = collate_puzzles(samples, 4)
+    cfg = Diffusion2DConfig(
+        steps=10, rotation=True, backbone="tiny", architecture="transformer",
+        n_layers=1, hidden_dim=32, heads=2, virt_nodes=2, aux_loss_weight=0.1,
+    )
+    model = Diffusion2D(cfg)
+    params = model.init(jax.random.PRNGKey(0), nb)
+    assert "aux_final_0" in params["denoiser"], "aux head must exist when weight>0"
+
+    # kill the main head's path: zero every non-aux denoiser subtree → the
+    # main-loss gradient into the encoder vanishes; the aux head (which taps
+    # the fusion output directly) must still carry encoder gradient
+    dead = jax.tree.map(lambda x: x, params)
+    for k in dead["denoiser"]:
+        if not k.startswith(("aux_final", "fusion", "time_emb")):
+            dead["denoiser"][k] = jax.tree.map(np.zeros_like, dead["denoiser"][k])
+
+    (loss, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
+        dead, nb, jax.random.PRNGKey(1)
+    )
+    assert "aux_loss" in aux and np.isfinite(float(aux["aux_loss"]))
+    import optax
+
+    g_enc = float(optax.global_norm(grads["encoder"]))
+    assert g_enc > 1e-6, f"encoder gradient died despite aux head ({g_enc})"
+
+    # weight 0 ⇒ no aux head params (reference parity)
+    cfg0 = Diffusion2DConfig(
+        steps=10, rotation=True, backbone="tiny", architecture="transformer",
+        n_layers=1, hidden_dim=32, heads=2, virt_nodes=2,
+    )
+    p0 = Diffusion2D(cfg0).init(jax.random.PRNGKey(0), nb)
+    assert "aux_final_0" not in p0["denoiser"]

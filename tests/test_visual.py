@@ -163,3 +163,47 @@ def test_orientation_norm_preserves_mean_signal():
     y = on.apply(po, h)
     diff = float(jnp.abs(y[0] - y[1]).mean())
     assert diff > 0.1, f"mean-brightness signal erased by the norm (diff={diff})"
+
+
+def test_norm_stats_calibration_batch_independent_inference(tmp_path):
+    """Frozen calibrated OrientationNorm stats (reference BatchNorm3d eval
+    mode) must make per-sample features independent of batch composition,
+    and round-trip through save/load (nn/visual.py calibrate_norm_stats)."""
+    import jax
+
+    from diffassemble_tpu.nn.visual import (
+        EquivariantResNet18,
+        calibrate_norm_stats,
+        load_norm_stats,
+        save_norm_stats,
+    )
+
+    enc = EquivariantResNet18()
+    rng = np.random.default_rng(0)
+    x = rng.random((8, 32, 32, 3), dtype=np.float32)
+    params = enc.init(jax.random.PRNGKey(0), x[:2])["params"]
+
+    stats = calibrate_norm_stats(enc, params, [x[:4], x[4:]])
+    assert stats, "equivariant encoder must expose OrientationNorm stats"
+
+    p = tmp_path / "norm_stats.npz"
+    save_norm_stats(p, stats)
+    loaded = load_norm_stats(p)
+
+    # same sample, two different batch compositions → identical features
+    f_a = enc.apply({"params": params, "norm_stats": loaded}, x[[0, 1]])
+    f_b = enc.apply({"params": params, "norm_stats": loaded}, x[[0, 5]])
+    np.testing.assert_allclose(np.asarray(f_a[0]), np.asarray(f_b[0]), rtol=1e-5, atol=1e-5)
+
+    # without stats, batch statistics make the same sample's features differ
+    g_a = enc.apply({"params": params}, x[[0, 1]])
+    g_b = enc.apply({"params": params}, x[[0, 5]])
+    assert float(np.abs(np.asarray(g_a[0]) - np.asarray(g_b[0])).max()) > 1e-6
+
+    # calibrated stats are close to a direct big-batch estimate: frozen-stats
+    # output should approximate the batch-stats output on the full batch
+    f_full = enc.apply({"params": params, "norm_stats": loaded}, x)
+    g_full = enc.apply({"params": params}, x)
+    err = np.abs(np.asarray(f_full) - np.asarray(g_full)).mean()
+    scale = np.abs(np.asarray(g_full)).mean() + 1e-8
+    assert err / scale < 0.5  # same regime, not exact (stats vs per-batch)
