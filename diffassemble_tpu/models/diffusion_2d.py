@@ -235,7 +235,13 @@ class Diffusion2D:
         else:
             pred = self.denoise(params, x_noisy, t, feats, batch.adj, batch.node_mask)
             aux_loss = 0.0
-        main = masked_mean(err_fn(pred, target))
+        per_elem = err_fn(pred, target)
+        main = masked_mean(per_elem)
+        if cfg.rotation:
+            # pos/rot breakdown: rotation canonicalization gates position
+            # learning early in rot recipes (CLAUDE.md) — watch them separately
+            aux["loss/pos"] = masked_mean(per_elem[..., :2])
+            aux["loss/rot"] = masked_mean(per_elem[..., 2:])
         loss = main + cfg.aux_loss_weight * aux_loss
         return loss, {"loss": main, "total_loss": loss, "t_mean": t_graph.mean(), **aux}
 

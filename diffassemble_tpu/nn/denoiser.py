@@ -105,7 +105,14 @@ class GraphDenoiser2D(nn.Module):
 
         aux_out = None
         if self.aux_head and not self.discrete:
-            a = nn.Dense(32, dtype=self.dtype, name="aux_final_0")(combined)
+            # features ONLY — no x_t/time path. An aux head that sees pos_feats
+            # can satisfy its loss by copying x_t (measured: rot recipe loss
+            # 0.11 while the sampler emitted constant poses); reading the
+            # visual features alone makes it a pure patch→pose readout whose
+            # gradient must build discriminative features.
+            a = nn.Dense(128, dtype=self.dtype, name="aux_final_0")(
+                feats.astype(self.dtype)
+            )
             aux_out = nn.Dense(
                 self.output_channels, dtype=self.dtype, name="aux_final_1"
             )(nn.gelu(a))
