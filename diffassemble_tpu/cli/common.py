@@ -74,6 +74,8 @@ def add_2d_args(ap: argparse.ArgumentParser) -> None:
     # locally converted weights file (scripts/convert_efficientnet.py)
     ap.add_argument("--visual_pretrained", type=str2bool, default=False)
     ap.add_argument("--visual_weights", type=str, default="weights/efficientnet_b0_features.npz")
+    ap.add_argument("--encoder_init", type=str, default="",
+                    help="npz from scripts/tpu_pretrain_encoder.py (pose-readout pretraining)")
     ap.add_argument("--discrete", type=str2bool, default=False)
     ap.add_argument("--cold_diffusion", type=str2bool, default=False)
     ap.add_argument("--loss_type", type=str, default="huber")
@@ -114,6 +116,7 @@ def build_2d_model(args) -> Diffusion2D:
         freeze_backbone=bool(args.freeze_backbone),
         visual_pretrained=bool(args.visual_pretrained),
         visual_weights=args.visual_weights,
+        encoder_init=args.encoder_init,
         all_equivariant=bool(args.all_equivariant),
         warmup_steps=args.warmup_steps,
         aux_loss_weight=args.aux_loss_weight,

@@ -61,6 +61,12 @@ class Diffusion2DConfig:
     # (scripts/convert_efficientnet.py); init() fails loudly if it doesn't.
     visual_pretrained: bool = False
     visual_weights: str = "weights/efficientnet_b0_features.npz"
+    # Initialize the encoder subtree from a saved npz (utils/params.py) — the
+    # no-egress counterpart of the reference's ImageNet pretraining: encoders
+    # self-pretrained on the pose-readout task (scripts/tpu_pretrain_encoder.py).
+    # Works for ANY backbone, including the equivariant ResNets the reference
+    # trains cold (where cold-start measurably collapses the recipe).
+    encoder_init: str = ""
     all_equivariant: bool = False
     two_heads: bool = False
     learning_rate: float = 1e-4
@@ -137,6 +143,16 @@ class Diffusion2D:
             from ..nn.efficientnet import load_pretrained_features
 
             params = load_pretrained_features(params, self.cfg.visual_weights)
+        if self.cfg.encoder_init:
+            from ..utils.params import load_params, tree_shapes_match
+
+            loaded = load_params(self.cfg.encoder_init)["encoder"]
+            if not tree_shapes_match(loaded, params["encoder"]):
+                raise ValueError(
+                    f"encoder_init {self.cfg.encoder_init!r} does not match the "
+                    f"{self.cfg.backbone} encoder's parameter structure"
+                )
+            params = {**params, "encoder": loaded}
         return params
 
     # -------------------------------------------------------------- features

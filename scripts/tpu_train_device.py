@@ -66,6 +66,8 @@ def main():
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument("--warmup_steps", type=int, default=500)
     ap.add_argument("--aux_loss_weight", type=float, default=0.0)
+    ap.add_argument("--encoder_init", default="")
+    ap.add_argument("--freeze_backbone", type=int, default=0)
     ap.add_argument("--attention_impl", default="auto")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -78,6 +80,7 @@ def main():
         architecture=args.architecture, virt_nodes=args.virt_nodes,
         n_layers=args.n_layers, compute_dtype=args.compute_dtype,
         warmup_steps=args.warmup_steps, aux_loss_weight=args.aux_loss_weight,
+        encoder_init=args.encoder_init, freeze_backbone=bool(args.freeze_backbone),
         attention_impl=args.attention_impl,
     )
     model = Diffusion2D(cfg)

@@ -211,3 +211,46 @@ def test_aux_feature_loss_keeps_encoder_gradient_alive():
     )
     p0 = Diffusion2D(cfg0).init(jax.random.PRNGKey(0), nb)
     assert "aux_final_0" not in p0["denoiser"]
+
+
+def test_encoder_init_roundtrip(tmp_path):
+    """cfg.encoder_init loads a pretrained encoder subtree saved by
+    utils/params.py (the pose-readout pretraining interchange format)."""
+    import jax
+    import numpy as np
+
+    from diffassemble_tpu.data import collate_puzzles, make_puzzle
+    from diffassemble_tpu.models.diffusion_2d import Diffusion2D, Diffusion2DConfig
+    from diffassemble_tpu.utils.params import load_params, save_params
+
+    rng = np.random.default_rng(0)
+    s = [{**make_puzzle(rng.random((64, 64, 3), dtype=np.float32), 2, 2, 32, rng=rng),
+          "patches_dim": np.array([2, 2], np.int32)}]
+    nb = collate_puzzles(s, 4)
+    cfg = Diffusion2DConfig(steps=10, backbone="tiny", architecture="transformer",
+                            n_layers=1, hidden_dim=32, heads=2, virt_nodes=2)
+    m = Diffusion2D(cfg)
+    p = m.init(jax.random.PRNGKey(0), nb)
+    mutated = jax.tree.map(lambda x: x + 1.0, p["encoder"])
+    path = tmp_path / "enc.npz"
+    save_params(path, {"encoder": mutated})
+    rt = load_params(path)["encoder"]
+    assert all(
+        np.allclose(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(mutated), jax.tree_util.tree_leaves(rt))
+    )
+
+    cfg2 = Diffusion2DConfig(steps=10, backbone="tiny", architecture="transformer",
+                             n_layers=1, hidden_dim=32, heads=2, virt_nodes=2,
+                             encoder_init=str(path))
+    p2 = Diffusion2D(cfg2).init(jax.random.PRNGKey(0), nb)
+    got = jax.tree_util.tree_leaves(p2["encoder"])
+    want = jax.tree_util.tree_leaves(mutated)
+    assert all(np.allclose(a, b) for a, b in zip(got, want))
+
+    # mismatched structure fails loudly
+    import pytest
+
+    cfg3 = Diffusion2DConfig(steps=10, backbone="convnet", encoder_init=str(path))
+    with pytest.raises(ValueError):
+        Diffusion2D(cfg3).init(jax.random.PRNGKey(0), nb)
