@@ -94,9 +94,9 @@ def main():
         return per.mean(), {"pos": per[..., :2].mean(), "rot": per[..., 2:].mean()}
 
     @jax.jit
-    def step(params, opt_state, key):
+    def step(params, opt_state, key, data):
         k_idx, k_rot = jax.random.split(key)
-        idx = jax.random.randint(k_idx, (args.batch_size,), 0, data.n_samples)
+        idx = jax.random.randint(k_idx, (args.batch_size,), 0, data.patches.shape[0])
         batch = gather_batch(data, idx, k_rot)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
         gn = optax.global_norm(grads)
@@ -105,10 +105,12 @@ def main():
         upd, opt_state2 = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, upd), opt_state2, loss, aux, gn
 
+    ev_chunk = 64 if args.hw <= 8 else 8
+
     @jax.jit
-    def ev_metrics(params, key):
-        batch = gather_batch(ev, jnp.arange(64), key)
-        pred = model.apply({"params": params}, flat(batch.patches)).reshape(64, -1, 4)
+    def _ev_chunk_metrics(params, idx, key, ev):
+        batch = gather_batch(ev, idx, key)
+        pred = model.apply({"params": params}, flat(batch.patches)).reshape(idx.shape[0], -1, 4)
         # position accuracy: nearest grid cell; rotation: cos > cos(45°)
         d = jnp.linalg.norm(pred[..., None, :2] - batch.grid[:, None], axis=-1)
         pos_ok = jnp.argmin(d, -1) == jnp.arange(d.shape[1])[None]
@@ -118,11 +120,18 @@ def main():
         rot_ok = cos > jnp.cos(jnp.pi / 4)
         return pos_ok.mean(), rot_ok.mean()
 
+    def ev_metrics(params, key):
+        pas, ras = [], []
+        for lo in range(0, 64, ev_chunk):
+            pa, ra = _ev_chunk_metrics(params, jnp.arange(lo, lo + ev_chunk), key, ev)
+            pas.append(float(pa)); ras.append(float(ra))
+        return float(np.mean(pas)), float(np.mean(ras))
+
     key = jax.random.PRNGKey(args.seed + 1)
     enc_key = [k for k in params if not k.startswith("head_")][0]
     for s in range(1, args.steps + 1):
         key, sub = jax.random.split(key)
-        params, opt_state, loss, aux, gn = step(params, opt_state, sub)
+        params, opt_state, loss, aux, gn = step(params, opt_state, sub, data)
         if s % 200 == 0 or s == 1:
             pa, ra = ev_metrics(params, jax.random.PRNGKey(9))
             tick(
