@@ -109,13 +109,15 @@ class GraphDenoiser2D(nn.Module):
             # can satisfy its loss by copying x_t (measured: rot recipe loss
             # 0.11 while the sampler emitted constant poses); reading the
             # visual features alone makes it a pure patch→pose readout whose
-            # gradient must build discriminative features.
-            a = nn.Dense(128, dtype=self.dtype, name="aux_final_0")(
-                feats.astype(self.dtype)
-            )
+            # gradient must build discriminative features. The LayerNorm
+            # brackets prevent the two-layer head's W1=W2=0 saddle (measured:
+            # without them the readout pins at the mean floor with grads→0.01).
+            a = nn.LayerNorm(name="aux_ln0", dtype=self.dtype)(feats.astype(self.dtype))
+            a = nn.Dense(128, dtype=self.dtype, name="aux_final_0")(a)
+            a = nn.gelu(nn.LayerNorm(name="aux_ln1", dtype=self.dtype)(a))
             aux_out = nn.Dense(
                 self.output_channels, dtype=self.dtype, name="aux_final_1"
-            )(nn.gelu(a))
+            )(a)
 
         gnn = make_gnn(
             self.architecture,

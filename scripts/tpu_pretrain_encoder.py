@@ -47,7 +47,13 @@ class PoseReadout(nn.Module):
     def __call__(self, x):
         dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         f = make_visual_encoder(self.backbone, dtype=dt)(x)
-        h = nn.gelu(nn.Dense(128, name="head_0")(f.astype(jnp.float32)))
+        # LayerNorms bracket the hidden layer: without them the two-layer
+        # head collapses to the exact W1=W2=0 saddle within ~400 steps
+        # (measured: loss pinned at the mean floor, grad 5.8 -> 0.01) --
+        # normalization re-amplifies any nonzero projection, so the gradient
+        # cannot die multiplicatively.
+        h = nn.LayerNorm(name="head_ln0")(f.astype(jnp.float32))
+        h = nn.gelu(nn.LayerNorm(name="head_ln1")(nn.Dense(128, name="head_0")(h)))
         return nn.Dense(4, name="head_1")(h)
 
 

@@ -192,7 +192,7 @@ def test_aux_feature_loss_keeps_encoder_gradient_alive():
     # the fusion output directly) must still carry encoder gradient
     dead = jax.tree.map(lambda x: x, params)
     for k in dead["denoiser"]:
-        if not k.startswith(("aux_final", "fusion", "time_emb")):
+        if not k.startswith(("aux_", "fusion", "time_emb")):
             dead["denoiser"][k] = jax.tree.map(np.zeros_like, dead["denoiser"][k])
 
     (loss, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
