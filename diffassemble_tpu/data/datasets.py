@@ -34,10 +34,18 @@ class SyntheticImages:
     Deterministic per (seed, index) so train/test splits are reproducible.
     """
 
-    def __init__(self, size_hw: tuple[int, int], n: int = 1000, seed: int = 0, cache: bool = True):
+    def __init__(
+        self,
+        size_hw: tuple[int, int],
+        n: int = 1000,
+        seed: int = 0,
+        cache: bool = True,
+        canonical: float = 0.5,
+    ):
         self.size_hw = size_hw
         self.n = n
         self.seed = seed
+        self.canonical = canonical  # weight of the fixed aligned component
         # procedural generation costs ~30ms/image on a weak host — cache the
         # uint8 images (≤ ~110 MB for 1000 192² images) so only epoch 1 pays
         self._cache: dict[int, np.ndarray] | None = {} if cache else None
@@ -54,21 +62,57 @@ class SyntheticImages:
         return img
 
     def _generate(self, idx: int) -> np.ndarray:
-        """Sub-cycle gradients (≤1 period over the image, so local appearance
-        determines global position without aliasing) + random rectangles and
-        ellipses for texture — keeps piece placement learnable like natural
-        images while staying procedural."""
+        """Canonically-aligned procedural images: a FIXED low-frequency field
+        shared by every image (weight `canonical`) + per-image random
+        sub-cycle gradients + random rectangles/ellipses for texture.
+
+        The fixed component matters: the reference's benchmark images
+        (CelebA-HQ) are ALIGNED faces, so a patch's absolute position (and
+        rotation) is decodable from its content alone — the signal both the
+        per-patch visual features and the rotation recipe rely on. A purely
+        phase-randomized generator destroys that signal (measured: ridge
+        probe of patch→position R²≈0.01 from mean color, and per-patch
+        readouts pin at the mean floor), leaving position inferable only
+        from cross-patch context — a strictly HARDER task than the real
+        benchmark. The canonical field restores aligned-data statistics
+        while staying procedural; it is x/y-asymmetric so patch rotation is
+        detectable per-patch too."""
         h, w = self.size_hw
         rng = np.random.default_rng((self.seed, idx))
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
         yy, xx = yy / h, xx / w
         img = np.zeros((h, w, 3), dtype=np.float32)
+        cw = self.canonical
+        # fixed canonical field (same for every image, like face alignment):
+        # per-channel asymmetric ramps/curves in x vs y
+        # low-frequency ramps give coarse position; fixed MID-frequency
+        # patterns (the procedural analog of facial features) give every
+        # 32 px patch a distinctive local phase signature a conv net can
+        # place — and, being x/y-asymmetric, orient.
+        canon = np.stack(
+            [
+                0.5
+                + 0.30 * (xx - 0.5)
+                + 0.18 * np.sin(2.5 * yy)
+                + 0.20 * np.sin(2 * np.pi * 3.3 * xx + 0.7) * np.cos(2 * np.pi * 1.9 * yy),
+                0.5
+                - 0.26 * (yy - 0.5)
+                + 0.20 * np.sin(1.7 * xx + 0.4)
+                + 0.20 * np.sin(2 * np.pi * 2.6 * yy + 0.3) * np.cos(2 * np.pi * 4.1 * xx + 1.1),
+                0.5
+                + 0.22 * (xx - 0.5) * (yy - 0.5) * 4.0
+                + 0.14 * np.cos(2.2 * xx)
+                + 0.20 * np.sin(2 * np.pi * 4.8 * xx + 2.0) * np.sin(2 * np.pi * 3.1 * yy + 0.9),
+            ],
+            axis=-1,
+        )
         for c in range(3):
             fx, fy = rng.uniform(0.25, 0.9, 2)  # < 1 cycle ⇒ no positional aliasing
             px, py = rng.uniform(0, 2 * np.pi, 2)
             img[..., c] = 0.5 + 0.22 * np.sin(2 * np.pi * fx * xx + px) + 0.22 * np.cos(
                 2 * np.pi * fy * yy + py
             )
+        img = cw * canon + (1.0 - cw) * img
         for _ in range(8):
             y0, x0 = rng.integers(0, h * 3 // 4), rng.integers(0, w * 3 // 4)
             dy, dx = rng.integers(h // 10, h // 3), rng.integers(w // 10, w // 3)
