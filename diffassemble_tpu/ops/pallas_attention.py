@@ -84,8 +84,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref):
     ).astype(o_ref.dtype)
     # L = smax + log(denom); empty rows get smax(-1e9) + log(1e-30): masked
     # entries then see S−L ≤ −log(1e-30) ≈ 69, exp of which stays finite in
-    # f32 and is zeroed by the mask in the backward.
-    l_ref[0, 0] = (smax + jnp.log(jnp.maximum(denom, 1e-30)))[:, 0]
+    # f32 and is zeroed by the mask in the backward. Kept as (…, N, 1): a
+    # trailing singleton lane keeps the Mosaic block shape legal — a (B, H, N)
+    # layout would need a (1, 1, BQ) block whose second-to-last dim violates
+    # the ≥8-sublane rule.
+    l_ref[0, 0] = smax + jnp.log(jnp.maximum(denom, 1e-30))
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, delta_ref, dq_ref):
@@ -97,7 +100,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, delta_ref, dq_ref):
     v = v_ref[0, 0]
     mf = mask_ref[0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
-    delta = delta_ref[0, 0][:, None]      # (BQ, 1)
+    delta = delta_ref[0, 0]               # (BQ, 1)
 
     scores = _masked_scores(q, k, mf)
     smax = jnp.max(scores, axis=-1, keepdims=True)
@@ -126,8 +129,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_t_ref, do_ref, l_ref, delta_ref,
     v = v_ref[0, 0]                       # (BK, Dh)
     mft = mask_t_ref[0].astype(jnp.float32)  # (BK, N) — transposed mask
     do = do_ref[0, 0].astype(jnp.float32)    # (N, Dh)
-    l_row = l_ref[0, 0][None, :]          # (1, N) per-query logsumexp
-    d_row = delta_ref[0, 0][None, :]      # (1, N)
+    l_row = l_ref[0, 0][:, 0][None, :]    # (1, N) per-query logsumexp
+    d_row = delta_ref[0, 0][:, 0][None, :]  # (1, N)
 
     dh = q.shape[-1]
     scale = 1.0 / (dh ** 0.5)
@@ -163,7 +166,7 @@ def _flash_fwd(q, k, v, mask, block_q: int, interpret: bool):
         _attn_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((b, h, n, dh), q.dtype),
-            jax.ShapeDtypeStruct((b, h, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -174,7 +177,7 @@ def _flash_fwd(q, k, v, mask, block_q: int, interpret: bool):
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
         ),
         interpret=interpret,
         **kwargs,
@@ -188,7 +191,9 @@ def _flash_bwd(q, k, v, mask, o, lse, g, block_q: int, interpret: bool):
     b, h, n, dh = q.shape
     mask_i8 = mask.astype(jnp.int8)
     mask_t_i8 = jnp.swapaxes(mask_i8, 1, 2)
-    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # (B,H,N)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (B, H, N, 1)
 
     kwargs = {}
     if _HAS_PLTPU and not interpret:
@@ -204,7 +209,7 @@ def _flash_bwd(q, k, v, mask, o, lse, g, block_q: int, interpret: bool):
             pl.BlockSpec((1, 1, n, dh), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, block_q, n), lambda bi, hi, qi: (bi, qi, 0)),
             pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0)),
         interpret=interpret,
@@ -224,8 +229,8 @@ def _flash_bwd(q, k, v, mask, o, lse, g, block_q: int, interpret: bool):
             pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, ki: (bi, hi, ki, 0)),
             pl.BlockSpec((1, block_q, n), lambda bi, hi, ki: (bi, ki, 0)),
             pl.BlockSpec((1, 1, n, dh), lambda bi, hi, ki: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, n), lambda bi, hi, ki: (bi, hi, 0)),
-            pl.BlockSpec((1, 1, n), lambda bi, hi, ki: (bi, hi, 0)),
+            pl.BlockSpec((1, 1, n, 1), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, n, 1), lambda bi, hi, ki: (bi, hi, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, ki: (bi, hi, ki, 0)),

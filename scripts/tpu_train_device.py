@@ -87,10 +87,27 @@ def main():
     tick(f"devices: {jax.devices()}")
 
     size_hw = (hw[0] * 32, hw[1] * 32)
-    train_imgs = SyntheticImages(size_hw, n=args.train_n, seed=args.seed, cache=False)
-    eval_imgs = SyntheticImages(size_hw, n=args.eval_n, seed=args.seed + 1000, cache=False)
-    data = build_device_data(train_imgs, hw, args.train_n, degree=args.degree, seed=args.seed)
-    eval_data = build_device_data(eval_imgs, hw, args.eval_n, degree=args.degree, seed=args.seed)
+
+    def cached(tag, n, img_seed):
+        """Host-side corpus cache: generating 512 960² images costs ~10 min
+        on this 1-core host; the patchified uint8 corpus round-trips npz fast."""
+        import numpy as _np
+        from diffassemble_tpu.train.device_data import DevicePuzzleData
+
+        deg = str(args.degree).replace("%", "pct")
+        f = _pl.Path(f"runs/_corpus/{tag}-hw{args.hw}-n{n}-s{img_seed}-d{deg}-g2.npz")
+        if f.exists():
+            z = _np.load(f)
+            return DevicePuzzleData(*(jnp.asarray(z[k]) for k in ("patches", "grid", "adj", "hw")))
+        imgs = SyntheticImages(size_hw, n=n, seed=img_seed, cache=False)
+        d = build_device_data(imgs, hw, n, degree=args.degree, seed=args.seed)
+        f.parent.mkdir(parents=True, exist_ok=True)
+        _np.savez(f, patches=_np.asarray(d.patches), grid=_np.asarray(d.grid),
+                  adj=_np.asarray(d.adj), hw=_np.asarray(d.hw))
+        return d
+
+    data = cached("train", args.train_n, args.seed)
+    eval_data = cached("eval", args.eval_n, args.seed + 1000)
     gb = float(data.patches.nbytes) / 1e9
     tick(f"corpus resident: {data.patches.shape} ({gb:.2f} GB uint8)")
 
