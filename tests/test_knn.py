@@ -93,3 +93,57 @@ def test_chamfer_chunked_gradients():
     g_direct = loss(0)
     g_chunked = loss(16)
     np.testing.assert_allclose(np.asarray(g_chunked), np.asarray(g_direct), atol=1e-5)
+
+
+def test_chamfer_custom_vjp_matches_autodiff():
+    """The argmin-only VJP must match direct autodiff through the full
+    pairwise matrix (away from ties), for both the direct and chunked paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffassemble_tpu.ops.knn import chamfer_distance, pairwise_sqdist
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.random((2, 17, 3)).astype(np.float32))
+    b = jnp.asarray(rng.random((2, 23, 3)).astype(np.float32))
+
+    def loss_ref(a, b):
+        d = pairwise_sqdist(a, b)
+        return jnp.min(d, -1).mean() + 0.7 * jnp.min(d, -2).mean()
+
+    def loss_cd(chunk):
+        def f(a, b):
+            da, db = chamfer_distance(a, b, chunk=chunk)
+            return da.mean() + 0.7 * db.mean()
+        return f
+
+    ga_ref, gb_ref = jax.grad(loss_ref, argnums=(0, 1))(a, b)
+    for chunk in (None, 5):
+        ga, gb = jax.grad(loss_cd(chunk), argnums=(0, 1))(a, b)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_chamfer_chunked_indices_match_direct():
+    import jax.numpy as jnp
+
+    from diffassemble_tpu.ops.knn import _chamfer_with_idx
+
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.random((3, 33, 3)).astype(np.float32))
+    b = jnp.asarray(rng.random((3, 21, 3)).astype(np.float32))
+    da0, db0, ia0, ib0 = _chamfer_with_idx(a, b, 0)
+    da1, db1, ia1, ib1 = _chamfer_with_idx(a, b, 8)
+    # different chunk groupings reorder float sums → tiny distance jitter
+    np.testing.assert_allclose(np.asarray(da0), np.asarray(da1), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(db0), np.asarray(db1), rtol=1e-4, atol=1e-6)
+    # indices must point at (near-)nearest neighbours: the gathered distance
+    # equals the reported min (robust to tie-breaking across groupings)
+    ga = np.take_along_axis(
+        np.asarray(((a[:, :, None] - b[:, None]) ** 2).sum(-1)), np.asarray(ia1)[..., None], -1
+    )[..., 0]
+    np.testing.assert_allclose(ga, np.asarray(da1), rtol=1e-4, atol=1e-6)
+    gb = np.take_along_axis(
+        np.asarray(((b[:, :, None] - a[:, None]) ** 2).sum(-1)), np.asarray(ib1)[..., None], -1
+    )[..., 0]
+    np.testing.assert_allclose(gb, np.asarray(db1), rtol=1e-4, atol=1e-6)
