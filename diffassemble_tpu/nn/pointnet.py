@@ -25,6 +25,22 @@ from ..ops.knn import knn_indices
 Dtype = Any
 
 
+def max_pool(x, axis: int = -2):
+    """Global max with a gather-based VJP.
+
+    On real TPU the reduce_max gradient (an equality select) can miss every
+    element for bf16 activations under excess-precision lowering, silently
+    zeroing ALL upstream gradients — measured: PointNet encoder grads exactly
+    0.0 on a v5e while identical code/data on CPU gives healthy norms.
+    argmax + take_along_axis routes the gradient through a gather (one winner
+    per channel), which is precision-robust and matches torch.max's
+    subgradient (reference pointnet.py:85).
+    """
+    idx = jnp.argmax(x, axis=axis, keepdims=True)
+    return jnp.take_along_axis(x, idx, axis=axis).squeeze(axis)
+
+
+
 class PointMLP(nn.Module):
     """Shared per-point MLP (the Conv1d(k=1)+norm+ReLU stack)."""
 
@@ -51,7 +67,7 @@ class TNet(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, N, k)
         h = PointMLP((64, 128, 1024), dtype=self.dtype)(x)
-        g = h.max(axis=-2)
+        g = max_pool(h)
         g = nn.relu(nn.Dense(512, dtype=self.dtype)(g))
         g = nn.relu(nn.Dense(256, dtype=self.dtype)(g))
         delta = nn.Dense(
@@ -80,7 +96,7 @@ class PointNet(nn.Module):
             t = TNet(64, dtype=self.dtype)(x)
             x = jnp.einsum("bnc,bcd->bnd", x, t)
         x = PointMLP((64, 128, self.feat_dim), dtype=self.dtype)(x)
-        return x.max(axis=-2)
+        return max_pool(x)
 
 
 class PointNetPlus(nn.Module):
@@ -107,10 +123,10 @@ class PointNetPlus(nn.Module):
         )  # (B, M, k, 3)
         rel = grouped - centroids[:, :, None, :]
         feats = PointMLP((64, 64, 128), dtype=self.dtype)(rel.astype(self.dtype))
-        local = feats.max(axis=-2)  # (B, M, 128)
+        local = max_pool(feats)  # (B, M, 128)
         h = jnp.concatenate([local, centroids.astype(self.dtype)], axis=-1)
         h = PointMLP((128, 256, self.feat_dim), dtype=self.dtype)(h)
-        return h.max(axis=-2)
+        return max_pool(h)
 
 
 def make_point_encoder(name: str, dtype: Dtype = jnp.float32):
