@@ -40,7 +40,7 @@ def main() -> None:
     import os
 
     HW = (30, 30)
-    BATCH = int(os.environ.get("BENCH_BATCH", "2"))
+    BATCH = int(os.environ.get("BENCH_BATCH", "8"))
     N = HW[0] * HW[1]
 
     cfg = Diffusion2DConfig(
