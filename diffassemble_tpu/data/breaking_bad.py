@@ -126,11 +126,46 @@ class SyntheticFractures:
         }
 
 
-class GeometryPartDataset:
-    """Real Breaking-Bad loader (requires trimesh + the dataset on disk).
+def _load_obj(path) -> tuple[np.ndarray, np.ndarray]:
+    """Minimal OBJ parser: vertices + triangulated faces (fan split for
+    polygons; `f v/vt/vn` indices reduced to the vertex index). Enough for
+    Breaking-Bad's per-part fragment meshes when trimesh is unavailable."""
+    verts: list[list[float]] = []
+    faces: list[list[int]] = []
+    for ln in open(path):
+        if ln.startswith("v "):
+            verts.append([float(x) for x in ln.split()[1:4]])
+        elif ln.startswith("f "):
+            idx = [int(tok.split("/")[0]) for tok in ln.split()[1:]]
+            idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+            for k in range(1, len(idx) - 1):  # fan triangulation
+                faces.append([idx[0], idx[k], idx[k + 1]])
+    return np.asarray(verts, np.float64), np.asarray(faces, np.int64)
 
-    Mirrors breakingbad_dt.py: data_dir/<split file listing fracture dirs>,
-    each dir holding per-part .obj meshes; surface-sample num_points per part.
+
+def _sample_surface(verts: np.ndarray, faces: np.ndarray, n: int,
+                    rng: np.random.Generator) -> np.ndarray:
+    """Area-weighted uniform surface sampling (trimesh.sample.sample_surface
+    equivalent): pick faces ∝ area, then uniform barycentric coordinates."""
+    tri = verts[faces]  # (F, 3, 3)
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1
+    )
+    probs = area / max(area.sum(), 1e-12)
+    pick = rng.choice(len(faces), size=n, p=probs)
+    r1, r2 = rng.random((2, n))
+    s = np.sqrt(r1)
+    bary = np.stack([1 - s, s * (1 - r2), s * r2], axis=-1)  # (n, 3)
+    return np.einsum("nk,nkd->nd", bary, tri[pick]).astype(np.float32)
+
+
+class GeometryPartDataset:
+    """Real Breaking-Bad loader (breakingbad_dt.py:11-270 parity).
+
+    data_dir/<split file listing fracture dirs>, each dir holding per-part
+    .obj meshes; surface-samples num_points per part. Uses trimesh when
+    importable, else the built-in OBJ parser + area-weighted sampler above
+    (trimesh is absent in some deploy images; the loader must still run).
     """
 
     def __init__(
@@ -143,8 +178,6 @@ class GeometryPartDataset:
         max_num_part: int = 20,
         seed: int = 0,
     ):
-        import trimesh  # noqa: F401 — required for the real dataset
-
         self.data_dir = Path(data_dir)
         self.num_points = num_points
         self.min_num_part = min_num_part
@@ -171,7 +204,10 @@ class GeometryPartDataset:
         return len(self.folders)
 
     def __getitem__(self, idx: int) -> dict:
-        import trimesh
+        try:
+            import trimesh
+        except ImportError:
+            trimesh = None
 
         rng = np.random.default_rng((self.seed, idx))
         d, meshes, cat = self.folders[idx]
@@ -180,10 +216,14 @@ class GeometryPartDataset:
         trans = np.zeros((p, 3), dtype=np.float32)
         quats = _random_quaternion(rng, p)
         for i, mfile in enumerate(meshes):
-            mesh = trimesh.load(str(mfile), force="mesh")
-            samples = np.asarray(
-                trimesh.sample.sample_surface(mesh, self.num_points)[0], dtype=np.float32
-            )
+            if trimesh is not None:
+                mesh = trimesh.load(str(mfile), force="mesh")
+                samples = np.asarray(
+                    trimesh.sample.sample_surface(mesh, self.num_points)[0], dtype=np.float32
+                )
+            else:
+                verts, faces = _load_obj(mfile)
+                samples = _sample_surface(verts, faces, self.num_points, rng)
             center = samples.mean(0)
             trans[i] = center
             pcds[i] = (samples - center) @ _quat_to_matrix(quats[i]).T

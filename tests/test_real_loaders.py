@@ -1,0 +1,178 @@
+"""Real-data loader tests (VERDICT r2 missing #5): the CelebA/WikiArt-style
+ImageFolder and the Breaking-Bad GeometryPartDataset have no real corpora in
+this environment, but their file-driven code paths must still be exercised —
+tmpdir PNGs + split files and tiny hand-written .obj fragments stand in.
+
+Reference parity: celeba_dt.py:11 (split-file image lists),
+breakingbad_dt.py:48-134 (fracture-dir scan, part-count filter, surface
+sampling, recenter + random SO(3), shuffle)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from diffassemble_tpu.data.breaking_bad import (
+    GeometryPartDataset,
+    _load_obj,
+    _sample_surface,
+    collate_fragments,
+)
+from diffassemble_tpu.data.datasets import ImageFolder, PuzzleDataset
+
+
+def _write_png(path: Path, hw, seed):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, size=(*hw, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(str(path))
+
+
+@pytest.fixture
+def image_dir(tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        _write_png(d / f"img{i}.png", (80, 64), i)
+    (tmp_path / "split.txt").write_text("img0.png\nimg2.png\n")
+    return d, tmp_path / "split.txt"
+
+
+def test_image_folder_glob(image_dir):
+    d, _ = image_dir
+    ds = ImageFolder(str(d))
+    assert len(ds) == 3
+    img = ds[0]
+    assert img.shape == (80, 64, 3) and img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 1.0
+
+
+def test_image_folder_split_file(image_dir):
+    d, split = image_dir
+    ds = ImageFolder(str(d), split_file=str(split))
+    assert len(ds) == 2
+    # split order preserved, contents match the named files
+    direct = ImageFolder(str(d))
+    np.testing.assert_array_equal(ds[0], direct[0])
+    np.testing.assert_array_equal(ds[1], direct[2])
+
+
+def test_image_folder_feeds_puzzle_dataset(image_dir):
+    """ImageFolder → PuzzleDataset yields the full sample contract (real
+    JPEG/PNG decode path end to end, reference celeba_dt.py → puzzle_dataset)."""
+    d, _ = image_dir
+
+    class Resized:
+        def __init__(self, base, hw):
+            self.base, self.hw = base, hw
+
+        def __len__(self):
+            return len(self.base)
+
+        def __getitem__(self, i):
+            from PIL import Image
+
+            img = (self.base[i] * 255).astype(np.uint8)
+            out = Image.fromarray(img).resize((self.hw[1], self.hw[0]))
+            return np.asarray(out, np.float32) / 255.0
+
+    base = ImageFolder(str(d))
+    ds = PuzzleDataset(Resized(base, (64, 64)), puzzle_sizes=[(2, 2)], rotation=True)
+    s = ds[0]
+    assert s["patches"].shape == (4, 32, 32, 3)
+    assert s["x0"].shape == (4, 4)  # pos(2) + rot vector(2)
+    assert s["adj"].shape == (4, 4)
+    assert tuple(s["patches_dim"]) == (2, 2)
+
+
+# --------------------------------------------------------------------- 3D
+
+
+CUBE_OBJ = """\
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+v 0 0 1
+v 1 0 1
+v 1 1 1
+v 0 1 1
+f 1 2 3 4
+f 5 8 7 6
+f 1 5 6 2
+f 2 6 7 3
+f 3 7 8 4
+f 4 8 5 1
+"""
+
+
+def _write_fracture(root: Path, name: str, n_parts: int):
+    d = root / name
+    d.mkdir(parents=True)
+    for i in range(n_parts):
+        # shifted unit cubes as stand-in fragment meshes
+        lines = []
+        for ln in CUBE_OBJ.splitlines():
+            if ln.startswith("v "):
+                x, y, z = map(float, ln.split()[1:])
+                lines.append(f"v {x + 2 * i} {y} {z}")
+            else:
+                lines.append(ln)
+        (d / f"part{i}.obj").write_text("\n".join(lines))
+
+
+def test_load_obj_quads_triangulated(tmp_path):
+    f = tmp_path / "cube.obj"
+    f.write_text(CUBE_OBJ)
+    verts, faces = _load_obj(f)
+    assert verts.shape == (8, 3)
+    assert faces.shape == (12, 3)  # 6 quads → 12 triangles
+
+
+def test_sample_surface_on_cube(tmp_path):
+    f = tmp_path / "cube.obj"
+    f.write_text(CUBE_OBJ)
+    verts, faces = _load_obj(f)
+    pts = _sample_surface(verts, faces, 512, np.random.default_rng(0))
+    assert pts.shape == (512, 3)
+    # every sample lies on the cube surface: some coordinate at 0 or 1
+    on_face = np.any(np.isclose(pts, 0.0, atol=1e-6) | np.isclose(pts, 1.0, atol=1e-6), axis=-1)
+    assert on_face.all()
+    assert pts.min() >= -1e-6 and pts.max() <= 1 + 1e-6
+
+
+def test_geometry_part_dataset(tmp_path):
+    _write_fracture(tmp_path / "data", "everyday/mug/frac0", 2)
+    _write_fracture(tmp_path / "data", "everyday/mug/frac1", 3)
+    _write_fracture(tmp_path / "data", "everyday/vase/frac2", 25)  # > max, filtered
+    (tmp_path / "data" / "split.txt").write_text(
+        "everyday/mug/frac0\neveryday/mug/frac1\neveryday/vase/frac2\nmissing/dir\n"
+    )
+    ds = GeometryPartDataset(str(tmp_path / "data"), "split.txt", num_points=128,
+                             max_num_part=20)
+    assert len(ds) == 2  # 25-part fracture filtered out, missing dir skipped
+    s = ds[0]
+    assert s["pcds"].shape == (2, 128, 3)
+    assert s["x0"].shape == (2, 7)
+    q = s["x0"][:, :4]
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+    # parts are recentered: mean of rotated cloud ≈ 0
+    np.testing.assert_allclose(s["pcds"].mean(1), 0.0, atol=0.1)
+    # gt translation reconstructs the original centers (cubes centered at
+    # x = 0.5 and 2.5; surface-sample mean ≈ geometric center)
+    np.testing.assert_allclose(sorted(s["x0"][:, 4]), [0.5, 2.5], atol=0.1)
+
+    batch = collate_fragments([ds[0], ds[1]], max_num_part=4)
+    assert batch.pcds.shape == (2, 4, 128, 3)
+    assert batch.node_mask.sum() == 2 + 3
+    assert batch.adj[1, :3, :3].all() and not batch.adj[1, 3].any()
+
+
+def test_geometry_part_dataset_category_filter(tmp_path):
+    _write_fracture(tmp_path / "data", "everyday/mug/frac0", 2)
+    _write_fracture(tmp_path / "data", "everyday/vase/frac1", 2)
+    (tmp_path / "data" / "split.txt").write_text("everyday/mug/frac0\neveryday/vase/frac1\n")
+    ds = GeometryPartDataset(str(tmp_path / "data"), "split.txt", category="mug",
+                             num_points=64)
+    assert len(ds) == 1
