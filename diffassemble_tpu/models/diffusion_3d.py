@@ -71,6 +71,16 @@ class Diffusion3DConfig:
     diffuse_rotation: bool = True     # False → translation-only legacy variant
     diffuse_translation: bool = True  # False → rotation-only legacy variant
     learning_rate: float = 1e-4
+    # Round-3 rotation-learning aids (results/diagnostics/diag_3d_rot*.json):
+    # diffusion training learns translation ~20x faster than rotation while a
+    # supervised feats->pose regression converges in 300 steps — the same
+    # pathology as the 2D x_t-shortcut saga. aux_pose_weight adds that
+    # supervised readout (denoiser on identity pose at t=0) as deep
+    # supervision; rot_pt_l2_weight turns on the geometric rotation loss
+    # (reference keeps it 0, utils_3d.py:682 — better-conditioned gradients
+    # than the 0.2-weight quat cosine on weakly-asymmetric parts).
+    aux_pose_weight: float = 0.0
+    rot_pt_l2_weight: float = 0.0
     compute_dtype: str = "float32"
     attention_impl: str = "auto"  # xla | pallas | auto
     remat: bool = False
@@ -205,8 +215,32 @@ class Diffusion3D:
             loss_dict = losses_3d.reassembly_loss_dict(
                 batch.pcds, pred_t, gt_t, pred_q, gt_q, batch.node_mask
             )
-            w = losses_3d.DEFAULT_LOSS_WEIGHTS
+            w = dict(losses_3d.DEFAULT_LOSS_WEIGHTS)
+            if cfg.rot_pt_l2_weight:
+                w["rot_pt_l2_loss"] = cfg.rot_pt_l2_weight
             total = sum(loss_dict[k] * w[k] for k in loss_dict)
+        if cfg.aux_pose_weight > 0:
+            # feats-only deep supervision: denoise the identity pose at t=0 —
+            # the x_t-independent readout that trains the feature->pose path
+            x_id = jnp.concatenate(
+                [jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), gt_q.shape),
+                 jnp.zeros_like(gt_t)], axis=-1)
+            if cfg.use_6dof:
+                x_id = jnp.concatenate(
+                    [x_id, jnp.broadcast_to(jnp.array([1.0, 0, 0, 0, 1.0, 0]), (*gt_q.shape[:-1], 6))],
+                    axis=-1)
+            pred0 = self.denoise(params, x_id, jnp.zeros_like(t), feats,
+                                 batch.adj, batch.node_mask)
+            p0_q, p0_t = pred0[..., :4], pred0[..., 4:7]
+            if cfg.use_6dof:
+                p0_q = so3.matrix_to_quaternion(so3.sixdof_to_matrix(pred0[..., 7:13]))
+            aux = (
+                losses_3d.rot_cosine_loss(p0_q, gt_q, batch.node_mask).mean()
+                + losses_3d.rot_points_l2_loss(batch.pcds, p0_q, gt_q, batch.node_mask).mean()
+                + losses_3d.trans_l2_loss(p0_t, gt_t, batch.node_mask).mean()
+            )
+            loss_dict["aux_pose_loss"] = aux
+            total = total + cfg.aux_pose_weight * aux
         loss_dict = {k: v for k, v in loss_dict.items()}
         loss_dict["loss"] = total
         return total, loss_dict
