@@ -116,6 +116,106 @@ def gather_batch(
     )
 
 
+class DeviceMixedPuzzleData(NamedTuple):
+    """A device-resident corpus of MIXED-size puzzles, padded to N_max.
+
+    The reference's headline 2D table trains one model on random sizes
+    6/8/10/12 per sample (puzzle_dataset.py:261-262); here each sample keeps
+    its own grid/adjacency/mask so a single static-shape jit covers them all."""
+
+    patches: jnp.ndarray    # (S, N_max, ps, ps, 3) uint8, zero on padding
+    grid: jnp.ndarray       # (S, N_max, 2) float32, zeros on padding
+    adj: jnp.ndarray        # (S, N_max, N_max) bool
+    node_mask: jnp.ndarray  # (S, N_max) bool
+    hw: jnp.ndarray         # (S, 2) int32
+
+    @property
+    def n_samples(self) -> int:
+        return self.patches.shape[0]
+
+    @property
+    def n_nodes(self) -> int:
+        return self.patches.shape[1]
+
+
+def build_device_data_mixed(
+    image_factory,
+    sizes: list[tuple[int, int]],
+    n_samples: int,
+    patch_size: int = 32,
+    degree: str | int = -1,
+    seed: int = 0,
+) -> DeviceMixedPuzzleData:
+    """Build a mixed-size corpus: sample i gets size sizes[i % len(sizes)].
+
+    `image_factory(size_hw, index)` must return a float32 [0,1] image of shape
+    (h*patch_size, w*patch_size, 3). Topology per size follows `unique_graph`
+    mode (one expander per size, shared across its samples)."""
+    n_max = max(h * w for h, w in sizes)
+    rng = np.random.default_rng(seed)
+    patches = np.zeros((n_samples, n_max, patch_size, patch_size, 3), dtype=np.uint8)
+    grid = np.zeros((n_samples, n_max, 2), dtype=np.float32)
+    adj = np.zeros((n_samples, n_max, n_max), dtype=bool)
+    mask = np.zeros((n_samples, n_max), dtype=bool)
+    hw_arr = np.zeros((n_samples, 2), dtype=np.int32)
+    per_size_adj = {}
+    for (h, w) in sizes:
+        n = h * w
+        if degree in (-1, "-1"):
+            per_size_adj[(h, w)] = np.ones((n, n), dtype=bool)
+        else:
+            per_size_adj[(h, w)] = expander_mask(
+                n, degree if isinstance(degree, str) else int(degree), rng
+            )
+    for i in range(n_samples):
+        h, w = sizes[i % len(sizes)]
+        n = h * w
+        img = image_factory((h * patch_size, w * patch_size), i)
+        p = patchify(np.asarray(img, np.float32), h, w, patch_size)
+        patches[i, :n] = np.clip(p * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        grid[i, :n] = grid_positions(h, w)
+        adj[i, :n, :n] = per_size_adj[(h, w)]
+        mask[i, :n] = True
+        hw_arr[i] = (h, w)
+    return DeviceMixedPuzzleData(
+        patches=jnp.asarray(patches), grid=jnp.asarray(grid), adj=jnp.asarray(adj),
+        node_mask=jnp.asarray(mask), hw=jnp.asarray(hw_arr),
+    )
+
+
+def gather_batch_mixed(
+    data: DeviceMixedPuzzleData,
+    idx: jnp.ndarray,
+    rot_rng: jax.Array | None = None,
+) -> PuzzleBatch:
+    """On-device mixed-size batch assembly (same augmentation semantics as
+    gather_batch; padding nodes keep zero patches/targets and are masked)."""
+    b = idx.shape[0]
+    n = data.n_nodes
+    patches = data.patches[idx]
+    grid = data.grid[idx]
+    node_mask = data.node_mask[idx]
+    if rot_rng is not None:
+        rot_k = jax.random.randint(rot_rng, (b, n), 0, 4)
+        rot_k = jnp.where(node_mask, rot_k, 0)
+        views = jnp.stack([jnp.rot90(patches, k=k, axes=(2, 3)) for k in range(4)])
+        patches = views[rot_k, jnp.arange(b)[:, None], jnp.arange(n)[None, :]]
+        rot_vec = jnp.asarray(ROT_VECTORS)[rot_k]
+        rot_vec = jnp.where(node_mask[..., None], rot_vec, 0.0)
+        x0 = jnp.concatenate([grid, rot_vec], axis=-1)
+    else:
+        x0 = grid
+    return PuzzleBatch(
+        patches=patches,
+        x0=x0,
+        grid=grid,
+        adj=data.adj[idx],
+        node_mask=node_mask,
+        patches_dim=data.hw[idx],
+        index=idx.astype(jnp.int32),
+    )
+
+
 def make_device_train_step(
     loss_fn,
     optimizer,
@@ -130,10 +230,11 @@ def make_device_train_step(
 
     from .train_state import TrainState
 
-    def step(state: TrainState, data: DevicePuzzleData, batch_size: int):
+    def step(state: TrainState, data, batch_size: int):
         k_idx, k_rot, k_loss, k_next = jax.random.split(state.rng, 4)
         idx = jax.random.randint(k_idx, (batch_size,), 0, data.n_samples)
-        batch = gather_batch(data, idx, k_rot if rotation else None)
+        gather = gather_batch_mixed if isinstance(data, DeviceMixedPuzzleData) else gather_batch
+        batch = gather(data, idx, k_rot if rotation else None)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, k_loss
         )

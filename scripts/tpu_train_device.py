@@ -47,7 +47,10 @@ from diffassemble_tpu.train.trainer import JsonlLogger
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--run_dir", required=True)
-    ap.add_argument("--hw", type=int, default=6)
+    ap.add_argument("--hw", type=int, nargs="+", default=[6],
+                    help="one value = single-size corpus; several = mixed-size "
+                         "(the reference's random-size 6/8/10/12 training, "
+                         "puzzle_dataset.py:261-262)")
     ap.add_argument("--rotation", type=int, default=1)
     ap.add_argument("--backbone", default="resnet18equiv")
     ap.add_argument("--architecture", default="exophormer")
@@ -69,10 +72,16 @@ def main():
     ap.add_argument("--encoder_init", default="")
     ap.add_argument("--freeze_backbone", type=int, default=0)
     ap.add_argument("--attention_impl", default="auto")
+    ap.add_argument("--monitor", default="overall__piece_acc",
+                    help="checkpoint top-k metric (overall_acc is 0 until a "
+                         "puzzle is fully solved — useless at 30x30)")
+    ap.add_argument("--viz_every_eval", type=int, default=1,
+                    help="save N reconstruction PNGs per eval (0 = off)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    hw = (args.hw, args.hw)
+    sizes = [(s, s) for s in args.hw]
+    hw = sizes[0]
     rotation = bool(args.rotation)
     cfg = Diffusion2DConfig(
         steps=args.steps, inference_ratio=args.inference_ratio, sampling="ddim",
@@ -87,23 +96,41 @@ def main():
     tick(f"devices: {jax.devices()}")
 
     size_hw = (hw[0] * 32, hw[1] * 32)
+    mixed = len(sizes) > 1
 
     def cached(tag, n, img_seed):
         """Host-side corpus cache: generating 512 960² images costs ~10 min
         on this 1-core host; the patchified uint8 corpus round-trips npz fast."""
         import numpy as _np
-        from diffassemble_tpu.train.device_data import DevicePuzzleData
+        from diffassemble_tpu.train.device_data import (
+            DeviceMixedPuzzleData,
+            DevicePuzzleData,
+            build_device_data_mixed,
+        )
 
         deg = str(args.degree).replace("%", "pct")
-        f = _pl.Path(f"runs/_corpus/{tag}-hw{args.hw}-n{n}-s{img_seed}-d{deg}-g2.npz")
+        hwtag = "x".join(str(s) for s in args.hw)
+        f = _pl.Path(f"runs/_corpus/{tag}-hw{hwtag}-n{n}-s{img_seed}-d{deg}-g2.npz")
         if f.exists():
             z = _np.load(f)
+            if mixed:
+                return DeviceMixedPuzzleData(*(jnp.asarray(z[k]) for k in
+                                               ("patches", "grid", "adj", "node_mask", "hw")))
             return DevicePuzzleData(*(jnp.asarray(z[k]) for k in ("patches", "grid", "adj", "hw")))
-        imgs = SyntheticImages(size_hw, n=n, seed=img_seed, cache=False)
-        d = build_device_data(imgs, hw, n, degree=args.degree, seed=args.seed)
+        if mixed:
+            srcs = {}
+
+            def factory(shw, i):
+                if shw not in srcs:
+                    srcs[shw] = SyntheticImages(shw, n=n, seed=img_seed, cache=False)
+                return srcs[shw][i]
+
+            d = build_device_data_mixed(factory, sizes, n, degree=args.degree, seed=args.seed)
+        else:
+            imgs = SyntheticImages(size_hw, n=n, seed=img_seed, cache=False)
+            d = build_device_data(imgs, hw, n, degree=args.degree, seed=args.seed)
         f.parent.mkdir(parents=True, exist_ok=True)
-        _np.savez(f, patches=_np.asarray(d.patches), grid=_np.asarray(d.grid),
-                  adj=_np.asarray(d.adj), hw=_np.asarray(d.hw))
+        _np.savez(f, **{k: _np.asarray(v) for k, v in d._asdict().items()})
         return d
 
     data = cached("train", args.train_n, args.seed)
@@ -111,11 +138,15 @@ def main():
     gb = float(data.patches.nbytes) / 1e9
     tick(f"corpus resident: {data.patches.shape} ({gb:.2f} GB uint8)")
 
+    if mixed:
+        from diffassemble_tpu.train.device_data import gather_batch_mixed as gather_batch  # noqa: F811
+    else:
+        from diffassemble_tpu.train.device_data import gather_batch  # noqa: F811
     first = gather_batch(data, jnp.arange(1), jax.random.PRNGKey(0) if rotation else None)
     params = model.init(jax.random.PRNGKey(args.seed), first)
     opt = model.make_optimizer()
     state = create_train_state(params, opt, jax.random.PRNGKey(args.seed + 1))
-    ckpt = CheckpointManager(f"{args.run_dir}/checkpoints", "overall_acc", "max")
+    ckpt = CheckpointManager(f"{args.run_dir}/checkpoints", args.monitor, "max")
     restored = ckpt.restore(state)
     if restored is not None:
         state = restored
@@ -124,11 +155,21 @@ def main():
     logger = JsonlLogger(args.run_dir)
 
     train_step = make_device_train_step(model.loss, opt, rotation=rotation)
-    eval_fn = jax.jit(model.evaluate)
+
+    @jax.jit
+    def eval_fn(params, batch, key):
+        # metrics + sampled final poses in one compile, so evals can emit
+        # reconstruction PNGs without a second sampler pass (VERDICT r2 #7 —
+        # the reference logs image grids every validation,
+        # spatial_diffusion.py:1204-1378)
+        res = model.sample(params, batch, key)
+        return model.metrics_from_final(res.final, batch), res.final
 
     eval_bs = args.eval_batch or args.batch_size
 
-    def run_eval(params, tag):
+    def run_eval(params, tag, step=0):
+        from diffassemble_tpu.utils.viz import save_reconstruction
+
         agg = MeanMetrics()
         for lo in range(0, args.eval_n, eval_bs):
             idx = jnp.arange(lo, min(lo + eval_bs, args.eval_n))
@@ -136,8 +177,19 @@ def main():
             eb = gather_batch(
                 eval_data, idx, jax.random.fold_in(jax.random.PRNGKey(99), lo) if rotation else None
             )
-            bm = eval_fn(params, eb, jax.random.fold_in(jax.random.PRNGKey(7), lo))
+            bm, final = eval_fn(params, eb, jax.random.fold_in(jax.random.PRNGKey(7), lo))
             update_puzzle_metrics(agg, bm, np.asarray(eb.patches_dim), np.asarray(eb.node_mask))
+            if lo == 0 and args.viz_every_eval:
+                fin = np.asarray(final)
+                for i in range(min(args.viz_every_eval, fin.shape[0])):
+                    vm = np.asarray(eb.node_mask[i])
+                    save_reconstruction(
+                        f"{args.run_dir}/viz/{tag}_step{step}_p{i}.png",
+                        np.asarray(eb.patches[i])[vm], fin[i][vm, :2],
+                        np.asarray(eb.x0[i])[vm, :2], tuple(np.asarray(eb.patches_dim[i])),
+                        pred_rot=fin[i][vm, 2:4] if rotation else None,
+                        gt_rot=np.asarray(eb.x0[i])[vm, 2:4] if rotation else None,
+                    )
         m = agg.compute()
         logger.log(-1, {f"{tag}/{k}": v for k, v in m.items()})
         return m
@@ -152,10 +204,10 @@ def main():
             t_last = time.time()
             logger.log(step, {**aux, "steps_per_s": args.log_every / max(dt, 1e-9)})
         if step % args.eval_every == 0 or step == args.max_steps:
-            m = run_eval(state.params, "val")
+            m = run_eval(state.params, "val", step)
             ckpt.save(step, state, m)
             t_last = time.time()
-    m = run_eval(state.params, "final")
+    m = run_eval(state.params, "final", step)
     tick(f"final: overall_acc={m.get('overall_acc', float('nan')):.4f} "
          f"piece_acc={m.get('overall__piece_acc', float('nan')):.4f}")
 

@@ -89,3 +89,69 @@ def test_device_train_step_runs():
     assert int(state.step) == 2
     assert np.isfinite(float(aux["loss"]))
     assert float(aux["grad_norm"]) > 0
+
+
+def test_mixed_build_and_gather():
+    """Mixed-size corpus: per-sample grid/adj/mask padded to N_max, the
+    reference's random-size training mode (puzzle_dataset.py:261-262)."""
+    from diffassemble_tpu.train.device_data import (
+        build_device_data_mixed,
+        gather_batch_mixed,
+    )
+
+    ps = 8
+    sizes = [(2, 2), (2, 3)]
+    imgs = {s: _Imgs(s, ps, 4, seed=s[1]) for s in sizes}
+
+    def factory(size_hw, i):
+        hw = (size_hw[0] // ps, size_hw[1] // ps)
+        return imgs[hw][i]
+
+    data = build_device_data_mixed(factory, sizes, 4, patch_size=ps, degree=-1)
+    assert data.patches.shape == (4, 6, ps, ps, 3)
+    # sample 0 is 2x2 (4 nodes), sample 1 is 2x3 (6 nodes)
+    assert int(data.node_mask[0].sum()) == 4
+    assert int(data.node_mask[1].sum()) == 6
+    np.testing.assert_array_equal(np.asarray(data.hw[0]), [2, 2])
+    np.testing.assert_array_equal(np.asarray(data.hw[1]), [2, 3])
+    # padded patch slots are zero
+    assert not np.asarray(data.patches[0, 4:]).any()
+    # adjacency confined to valid nodes
+    assert not np.asarray(data.adj[0])[4:].any()
+
+    batch = gather_batch_mixed(data, jnp.array([0, 1]), jax.random.PRNGKey(0))
+    assert batch.x0.shape == (2, 6, 4)
+    # padded targets zeroed, masks carried through
+    assert not np.asarray(batch.x0[0, 4:]).any()
+    np.testing.assert_array_equal(np.asarray(batch.patches_dim), [[2, 2], [2, 3]])
+    # rotation augmentation only touches valid nodes
+    assert not np.asarray(batch.patches[0, 4:]).any()
+
+
+def test_mixed_train_step_runs():
+    import optax
+
+    from diffassemble_tpu.train.device_data import build_device_data_mixed
+    from diffassemble_tpu.train.train_state import create_train_state
+    from diffassemble_tpu.models.diffusion_2d import Diffusion2D, Diffusion2DConfig
+
+    ps = 32
+    sizes = [(2, 2), (3, 3)]
+    imgs = {s: _Imgs(s, ps, 4, seed=s[0] * 10 + s[1]) for s in sizes}
+    data = build_device_data_mixed(
+        lambda shw, i: imgs[(shw[0] // ps, shw[1] // ps)][i], sizes, 4, patch_size=ps, degree=-1
+    )
+    model = Diffusion2D(Diffusion2DConfig(
+        steps=8, rotation=True, backbone="tiny", architecture="transformer",
+        n_layers=2, hidden_dim=32, heads=2,
+    ))
+    from diffassemble_tpu.train.device_data import gather_batch_mixed
+
+    first = gather_batch_mixed(data, jnp.arange(1), jax.random.PRNGKey(0))
+    params = model.init(jax.random.PRNGKey(0), first)
+    opt = model.make_optimizer()
+    state = create_train_state(params, opt, jax.random.PRNGKey(1))
+    step = make_device_train_step(model.loss, opt, rotation=True)
+    state2, aux = step(state, data, 2)
+    assert int(state2.step) == 1
+    assert np.isfinite(float(aux["loss"]))
