@@ -48,6 +48,10 @@ def add_3d_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--num_iter", type=int, default=1)
     ap.add_argument("--export_meshes", action="store_true", default=False)
     ap.add_argument("--compute_dtype", type=str, default="bfloat16")
+    # rotation-learning aids (results/diagnostics/diag_3d_rot_e.json: tiny
+    # overfit gd_r 1.61→0.04 rad, part_acc 0.42→1.0 with both on)
+    ap.add_argument("--aux_pose_weight", type=float, default=0.0)
+    ap.add_argument("--rot_pt_l2_weight", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--data_dir", type=str, default=None)
 
@@ -70,6 +74,8 @@ def build_3d(args):
         use_6dof=bool(args.use_6dof_rot),
         equiv_inv_mp=bool(args.use_vn_dgcnn_equiv_inv_mp),
         freeze_backbone=bool(args.freeze_backbone),
+        aux_pose_weight=args.aux_pose_weight,
+        rot_pt_l2_weight=args.rot_pt_l2_weight,
         compute_dtype=args.compute_dtype,
     )
     model = Diffusion3D(cfg)

@@ -132,6 +132,7 @@ class Trainer:
         seed: int = 0,
         log_quiet: bool = False,
         adapter: TaskAdapter | None = None,
+        viz_every_eval: int = 2,
     ):
         self.model = model
         self.run_dir = Path(run_dir)
@@ -148,6 +149,7 @@ class Trainer:
         self.optimizer = model.make_optimizer()
         self.train_step = make_train_step(model.loss, self.optimizer, accumulate)
         self._eval_fn: Callable | None = None
+        self.viz_every_eval = viz_every_eval
 
     def _device_batch(self, np_batch):
         jb = self.adapter.batch_cls(*[jnp.asarray(a) for a in np_batch])
@@ -190,7 +192,7 @@ class Trainer:
                     t_last = time.time()
                     self.logger.log(step, {**aux, "steps_per_s": 50 / max(dt, 1e-9)})
                 if eval_ds is not None and step % self.eval_every == 0:
-                    metrics = self.evaluate(state.params, eval_ds)
+                    metrics = self.evaluate(state.params, eval_ds, step=step)
                     self.ckpt.save(step, state, metrics)
                 elif step % self.checkpoint_every == 0:
                     self.ckpt.save(step, state)
@@ -205,11 +207,20 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
 
-    def evaluate(self, params, eval_ds, max_batches: int | None = None, tag: str = "val") -> dict:
+    def evaluate(self, params, eval_ds, max_batches: int | None = None, tag: str = "val",
+                 step: int = 0) -> dict:
         n_max = self.adapter.max_nodes(eval_ds)
         agg = MeanMetrics()
         if self._eval_fn is None:
-            self._eval_fn = jax.jit(self.model.evaluate)
+            def _eval(p, b, k):
+                # metrics + sampled final poses in one compile so evals can
+                # emit reconstructions (the reference logs wandb image grids
+                # every validation, spatial_diffusion.py:1204-1378)
+                res = self.model.sample(p, b, k)
+                final = getattr(res, "final", res[0] if isinstance(res, tuple) else res)
+                return self.model.metrics_from_final(final, b), final
+
+            self._eval_fn = jax.jit(_eval)
         rng = jax.random.PRNGKey(self.seed + 1)
         host_rng = np.random.default_rng(self.seed + 1)
         for bi, nb in enumerate(
@@ -221,8 +232,39 @@ class Trainer:
             if max_batches is not None and bi >= max_batches:
                 break
             rng, sub = jax.random.split(rng)
-            bm = self._eval_fn(params, self._device_batch(nb), sub)
+            bm, final = self._eval_fn(params, self._device_batch(nb), sub)
             self.adapter.fold_metrics(agg, bm, nb)
+            if bi == 0 and self.viz_every_eval:
+                self._save_viz(nb, np.asarray(final), tag, step)
         metrics = agg.compute()
         self.logger.log(-1, {f"{tag}/{k}": v for k, v in metrics.items()})
         return metrics
+
+    def _save_viz(self, nb, final: np.ndarray, tag: str, step: int) -> None:
+        """Reconstruction artifacts under run_dir/viz: PNGs for 2D puzzles,
+        colored .ply part clouds for 3D fragments."""
+        from ..utils.viz import export_fragments_ply, save_reconstruction
+
+        out = self.run_dir / "viz"
+        try:
+            if isinstance(nb, PuzzleBatch) or hasattr(nb, "patches"):
+                rot = final.shape[-1] >= 4 and getattr(self.model.cfg, "rotation", False)
+                for i in range(min(self.viz_every_eval, final.shape[0])):
+                    vm = np.asarray(nb.node_mask[i])
+                    save_reconstruction(
+                        out / f"{tag}_step{step}_p{i}.png",
+                        np.asarray(nb.patches[i])[vm], final[i][vm, :2],
+                        np.asarray(nb.x0[i])[vm, :2],
+                        tuple(np.asarray(nb.patches_dim[i])),
+                        pred_rot=final[i][vm, 2:4] if rot else None,
+                        gt_rot=np.asarray(nb.x0[i])[vm, 2:4] if rot else None,
+                    )
+            elif hasattr(nb, "pcds"):
+                for i in range(min(self.viz_every_eval, final.shape[0])):
+                    export_fragments_ply(
+                        out / f"{tag}_step{step}_p{i}.ply",
+                        np.asarray(nb.pcds[i]), final[i][:, 4:7], final[i][:, :4],
+                        np.asarray(nb.node_mask[i]),
+                    )
+        except Exception as e:  # viz must never kill a training run
+            print(f"viz skipped: {e}", flush=True)
