@@ -235,3 +235,62 @@ def test_trainer_resume_from_checkpoint(tmp_path):
     s2 = t2.fit(train_ds, None)
     assert int(s2.step) == 4  # continued from 2, not from 0
 
+
+
+def test_part_acc_threshold_calibration():
+    """Metric-sanity regression (diag_3d_rot.json part B): part_acc must be
+    1.0 at ground-truth poses, still 1.0 at a 5° rotation perturbation, and 0
+    by 15° — i.e. the CD<0.01 gate is calibrated to the synthetic-blob scale,
+    so a 0.0 reading means far-from-GT predictions, not a broken metric."""
+    from diffassemble_tpu.data.batch import FragmentBatch
+    from diffassemble_tpu.data.breaking_bad import SyntheticFractures, collate_fragments
+    from diffassemble_tpu.models import losses_3d
+    from diffassemble_tpu.ops import so3
+
+    ds = SyntheticFractures(n=4, num_points=128, max_num_part=6, seed=5)
+    nb = collate_fragments([ds[i] for i in range(4)], 6)
+    batch = FragmentBatch(*[jnp.asarray(a) for a in nb])
+    gt_q, gt_t = batch.x0[..., :4], batch.x0[..., 4:7]
+    v = batch.node_mask
+
+    assert float(losses_3d.part_accuracy(batch.pcds, gt_t, gt_t, gt_q, gt_q, v).mean()) == 1.0
+
+    def perturb(deg):
+        ang = np.deg2rad(deg)
+        axis = jax.random.normal(jax.random.PRNGKey(3), gt_q.shape[:-1] + (3,))
+        axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+        dR = so3.rotvec_to_rmat(axis * ang)
+        return so3.matrix_to_quaternion(so3._mm(dR, so3.quaternion_to_matrix(gt_q)))
+
+    pa5 = float(losses_3d.part_accuracy(batch.pcds, gt_t, gt_t, perturb(5.0), gt_q, v).mean())
+    pa15 = float(losses_3d.part_accuracy(batch.pcds, gt_t, gt_t, perturb(15.0), gt_q, v).mean())
+    assert pa5 == 1.0
+    assert pa15 == 0.0
+
+
+def test_3d_aux_pose_and_rot_pt_l2_wiring():
+    """The round-3 rotation-learning aids must appear in the loss dict and
+    raise the total (diag_3d_rot_e.json: they take overfit gd_r 1.61→0.04)."""
+    from diffassemble_tpu.data.batch import FragmentBatch
+    from diffassemble_tpu.data.breaking_bad import SyntheticFractures, collate_fragments
+
+    ds = SyntheticFractures(n=2, num_points=64, max_num_part=4, seed=1)
+    nb = collate_fragments([ds[i] for i in range(2)], 4)
+    batch = FragmentBatch(*[jnp.asarray(a) for a in nb])
+
+    base = Diffusion3D(Diffusion3DConfig(
+        steps=10, backbone="pointnet", n_layers=1, hidden_dim=32, heads=2,
+        max_num_part=4))
+    aided = Diffusion3D(Diffusion3DConfig(
+        steps=10, backbone="pointnet", n_layers=1, hidden_dim=32, heads=2,
+        max_num_part=4, aux_pose_weight=0.5, rot_pt_l2_weight=1.0))
+    params = base.init(jax.random.PRNGKey(0), batch)
+
+    l0, d0 = base.loss(params, batch, jax.random.PRNGKey(2))
+    l1, d1 = aided.loss(params, batch, jax.random.PRNGKey(2))
+    assert "aux_pose_loss" not in d0
+    assert "aux_pose_loss" in d1 and float(d1["aux_pose_loss"]) > 0
+    assert float(l1) > float(l0)
+    g = jax.grad(lambda p: aided.loss(p, batch, jax.random.PRNGKey(2))[0])(params)
+    import optax
+    assert float(optax.global_norm(g)) > 0 and np.isfinite(float(optax.global_norm(g)))
