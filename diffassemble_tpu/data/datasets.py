@@ -41,11 +41,21 @@ class SyntheticImages:
         seed: int = 0,
         cache: bool = True,
         canonical: float = 0.5,
+        hf_detail: float = 0.0,
     ):
         self.size_hw = size_hw
         self.n = n
         self.seed = seed
         self.canonical = canonical  # weight of the fixed aligned component
+        # weight of FIXED high-frequency canonical texture. The base canonical
+        # field tops out at 4.8 cycles/image: at 30×30 (patch = 1/30 of the
+        # image) adjacent patches differ by <0.2 cycles of phase, so per-patch
+        # absolute position saturates at coarse precision (measured round 3:
+        # pose-readout 12% cell accuracy at 900 cells, diffusion plateau ~55%).
+        # Aligned CelebA faces carry position-specific detail at every scale;
+        # hf_detail adds the procedural analog — incommensurate 8-31
+        # cycles/image sinusoid products whose joint phase is unique per cell.
+        self.hf_detail = hf_detail
         # procedural generation costs ~30ms/image on a weak host — cache the
         # uint8 images (≤ ~110 MB for 1000 192² images) so only epoch 1 pays
         self._cache: dict[int, np.ndarray] | None = {} if cache else None
@@ -106,6 +116,20 @@ class SyntheticImages:
             ],
             axis=-1,
         )
+        if self.hf_detail > 0:
+            tp = 2 * np.pi
+            hf = np.stack(
+                [
+                    np.sin(tp * 11.3 * xx + 0.5) * np.cos(tp * 7.7 * yy + 1.3)
+                    + 0.6 * np.sin(tp * 23.7 * xx + 2.9) * np.sin(tp * 17.3 * yy + 0.8),
+                    np.sin(tp * 13.9 * xx + 2.1) * np.cos(tp * 9.4 * yy + 0.2)
+                    + 0.6 * np.cos(tp * 19.1 * xx + 1.1) * np.sin(tp * 27.9 * yy + 2.2),
+                    np.sin(tp * 8.6 * xx + 1.7) * np.cos(tp * 12.8 * yy + 2.6)
+                    + 0.6 * np.sin(tp * 30.7 * xx + 0.3) * np.cos(tp * 21.6 * yy + 1.9),
+                ],
+                axis=-1,
+            )
+            canon = canon + self.hf_detail * hf
         for c in range(3):
             fx, fy = rng.uniform(0.25, 0.9, 2)  # < 1 cycle ⇒ no positional aliasing
             px, py = rng.uniform(0, 2 * np.pi, 2)

@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--canonical", type=float, default=0.5)
+    ap.add_argument("--hf_detail", type=float, default=0.0)
+    ap.add_argument("--degree", default="-1",
+                    help="only used to locate a cached corpus npz")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -74,10 +78,24 @@ def main():
     out = args.out or f"weights/{args.backbone}_pose{args.hw}.npz"
     _pl.Path(out).parent.mkdir(parents=True, exist_ok=True)
 
-    imgs = SyntheticImages((hw[0] * 32, hw[1] * 32), n=args.train_n, seed=args.seed, cache=False)
-    data = build_device_data(imgs, hw, args.train_n, degree=-1, seed=args.seed)
-    ev_imgs = SyntheticImages((hw[0] * 32, hw[1] * 32), n=64, seed=args.seed + 1000, cache=False)
-    ev = build_device_data(ev_imgs, hw, 64, degree=-1, seed=args.seed)
+    def corpus(tag, n, img_seed):
+        """Reuse the training scripts' cached corpora when present (the
+        expander degree only affects adj, which pose pretraining ignores)."""
+        from diffassemble_tpu.train.device_data import DevicePuzzleData
+
+        ctag = "" if args.canonical == 0.5 else f"-c{args.canonical}"
+        htag = "" if args.hf_detail == 0.0 else f"-hf{args.hf_detail}"
+        deg = str(args.degree).replace("%", "pct")
+        f = _pl.Path(f"runs/_corpus/{tag}-hw{args.hw}-n{n}-s{img_seed}-d{deg}-g2{ctag}{htag}.npz")
+        if f.exists():
+            z = np.load(f)
+            return DevicePuzzleData(*(jnp.asarray(z[k]) for k in ("patches", "grid", "adj", "hw")))
+        imgs = SyntheticImages((hw[0] * 32, hw[1] * 32), n=n, seed=img_seed, cache=False,
+                               canonical=args.canonical, hf_detail=args.hf_detail)
+        return build_device_data(imgs, hw, n, degree=-1, seed=args.seed)
+
+    data = corpus("train", args.train_n, args.seed)
+    ev = corpus("eval", 64, args.seed + 1000)
     tick(f"devices: {jax.devices()}; corpus {data.patches.shape}")
 
     model = PoseReadout(args.backbone, args.dtype)

@@ -72,6 +72,15 @@ def main():
     ap.add_argument("--encoder_init", default="")
     ap.add_argument("--freeze_backbone", type=int, default=0)
     ap.add_argument("--attention_impl", default="auto")
+    ap.add_argument("--hf_detail", type=float, default=0.0,
+                    help="fixed high-frequency canonical texture weight "
+                         "(datasets.py); needed for per-patch decodability "
+                         "at 900 cells — see results/diagnostics/decodability")
+    ap.add_argument("--canonical", type=float, default=0.5,
+                    help="weight of the generator's fixed aligned field "
+                         "(datasets.py _generate docstring); 0.5 matched the "
+                         "round-2 decodability probe, higher approaches "
+                         "CelebA-grade alignment")
     ap.add_argument("--monitor", default="overall__piece_acc",
                     help="checkpoint top-k metric (overall_acc is 0 until a "
                          "puzzle is fully solved — useless at 30x30)")
@@ -110,7 +119,9 @@ def main():
 
         deg = str(args.degree).replace("%", "pct")
         hwtag = "x".join(str(s) for s in args.hw)
-        f = _pl.Path(f"runs/_corpus/{tag}-hw{hwtag}-n{n}-s{img_seed}-d{deg}-g2.npz")
+        ctag = "" if args.canonical == 0.5 else f"-c{args.canonical}"
+        ctag += "" if args.hf_detail == 0.0 else f"-hf{args.hf_detail}"
+        f = _pl.Path(f"runs/_corpus/{tag}-hw{hwtag}-n{n}-s{img_seed}-d{deg}-g2{ctag}.npz")
         if f.exists():
             z = _np.load(f)
             if mixed:
@@ -122,12 +133,12 @@ def main():
 
             def factory(shw, i):
                 if shw not in srcs:
-                    srcs[shw] = SyntheticImages(shw, n=n, seed=img_seed, cache=False)
+                    srcs[shw] = SyntheticImages(shw, n=n, seed=img_seed, cache=False, canonical=args.canonical, hf_detail=args.hf_detail)
                 return srcs[shw][i]
 
             d = build_device_data_mixed(factory, sizes, n, degree=args.degree, seed=args.seed)
         else:
-            imgs = SyntheticImages(size_hw, n=n, seed=img_seed, cache=False)
+            imgs = SyntheticImages(size_hw, n=n, seed=img_seed, cache=False, canonical=args.canonical, hf_detail=args.hf_detail)
             d = build_device_data(imgs, hw, n, degree=args.degree, seed=args.seed)
         f.parent.mkdir(parents=True, exist_ok=True)
         _np.savez(f, **{k: _np.asarray(v) for k, v in d._asdict().items()})
