@@ -80,12 +80,20 @@ def main() -> None:
     rng = np.random.default_rng(0)
     adj = expander_mask(N, "10%", rng)  # sparse Exphormer topology at N=900
     if trained:
-        # held-out synthetic images (seed disjoint from the training run)
+        # held-out synthetic images (seed disjoint from the training run),
+        # generated with the SAME distribution knobs the checkpoint was
+        # trained on (data.json written by scripts/tpu_train_device.py)
         from diffassemble_tpu.data import get_dataset
 
+        dkw = {}
+        dj = os.path.join(ckpt_dir, "data.json")
+        if os.path.isfile(dj):
+            d = json.load(open(dj))
+            dkw = {"canonical": d.get("canonical", 0.5),
+                   "hf_detail": d.get("hf_detail", 0.0)}
         _, test_ds, _ = get_dataset(
             "synthetic", puzzle_sizes=[30], rotation=cfg.rotation,
-            degree="10%", train_n=1, test_n=max(BATCH, 8), seed=123,
+            degree="10%", train_n=1, test_n=max(BATCH, 8), seed=123, **dkw,
         )
         samples = [test_ds[i] for i in range(BATCH)]
     else:

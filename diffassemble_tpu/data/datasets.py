@@ -293,6 +293,8 @@ def get_dataset(
     train_n: int = 2000,
     test_n: int = 200,
     seed: int = 0,
+    canonical: float = 0.5,
+    hf_detail: float = 0.0,
 ):
     """Dataset factory (reference dataset_utils.get_dataset/get_dataset_ROT/
     get_dataset_missing_pieces :29,107,165). Returns (train, test, sizes).
@@ -306,7 +308,8 @@ def get_dataset(
 
     def image_source(split: str, n: int, seed_off: int):
         if dataset == "synthetic":
-            return SyntheticImages(size_hw, n=n, seed=seed + seed_off)
+            return SyntheticImages(size_hw, n=n, seed=seed + seed_off,
+                                   canonical=canonical, hf_detail=hf_detail)
         root = data_root or os.environ.get("DIFFASSEMBLE_DATA", "datasets")
         split_dir = Path(root) / "data_splits"
         split_map = {

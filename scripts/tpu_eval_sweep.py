@@ -46,12 +46,22 @@ def main():
     ap.add_argument("--out", default="results/eval_sweep_900.jsonl")
     args = ap.parse_args()
 
+    import json as _json
+
     ckpt = CheckpointManager(args.ckpt)
     base = ckpt.load_config()
     rotation = bool(base.get("rotation", False))
 
     deg = str(args.degree).replace("%", "pct")
-    f = _pl.Path(f"runs/_corpus/eval-hw{args.hw}-n{args.eval_n}-s1000-d{deg}-g2.npz")
+    ctag = ""
+    dj = _pl.Path(args.ckpt) / "data.json"
+    if dj.is_file():
+        d = _json.loads(dj.read_text())
+        if d.get("canonical", 0.5) != 0.5:
+            ctag += f"-c{d['canonical']}"
+        if d.get("hf_detail", 0.0) != 0.0:
+            ctag += f"-hf{d['hf_detail']}"
+    f = _pl.Path(f"runs/_corpus/eval-hw{args.hw}-n{args.eval_n}-s1000-d{deg}-g2{ctag}.npz")
     assert f.exists(), f"eval corpus missing: {f}"
     z = np.load(f)
     eval_data = DevicePuzzleData(*(jnp.asarray(z[k]) for k in ("patches", "grid", "adj", "hw")))

@@ -163,6 +163,14 @@ def main():
         state = restored
         tick(f"resumed from step {int(state.step)}")
     ckpt.save_config(cfg)
+    # record the data distribution next to the weights so downstream evals
+    # (bench.py, eval sweeps) reconstruct a MATCHING held-out set
+    import json as _json
+    (_pl.Path(args.run_dir) / "checkpoints" / "data.json").write_text(_json.dumps({
+        "dataset": "synthetic", "hw": args.hw, "degree": args.degree,
+        "canonical": args.canonical, "hf_detail": args.hf_detail,
+        "train_n": args.train_n, "seed": args.seed,
+    }))
     logger = JsonlLogger(args.run_dir)
 
     train_step = make_device_train_step(model.loss, opt, rotation=rotation)
