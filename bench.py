@@ -63,10 +63,13 @@ def main() -> None:
     # Durable default: the committed checkpoint under weights/ (VERDICT r2
     # missing #4 — runs/ is wiped between rounds); BENCH_CKPT or a fresher
     # runs/ checkpoint can override.
+    def _has_steps(d):
+        return os.path.isdir(d) and any(s.isdigit() for s in os.listdir(d))
+
     ckpt_dir = os.environ.get("BENCH_CKPT", "")
     if not ckpt_dir:
         for cand in ("runs/quality-900c/checkpoints", "weights/diffusion2d_rot30"):
-            if os.path.isdir(cand):
+            if _has_steps(cand):
                 ckpt_dir = cand
                 break
     trained = bool(ckpt_dir) and os.path.isdir(ckpt_dir)
