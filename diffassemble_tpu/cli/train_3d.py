@@ -54,6 +54,18 @@ def add_3d_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--rot_pt_l2_weight", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--data_dir", type=str, default=None)
+    ap.add_argument("--encoder_init", type=str, default="",
+                    help="pose-pretrained point-encoder npz "
+                         "(scripts/tpu_pretrain_encoder_3d.py)")
+    ap.add_argument("--synthetic_canonical", type=float, default=0.6,
+                    help="weight of the fixed canonical deformation field in "
+                         "SyntheticFractures (per-part rotation decodability; "
+                         "results/diagnostics/decodability_probe_3d.json)")
+    ap.add_argument("--synthetic_voronoi", type=str2bool, default=True,
+                    help="connected Voronoi-cell parts (True) vs legacy "
+                         "plane-cut unions (False)")
+    ap.add_argument("--train_n", type=int, default=512)
+    ap.add_argument("--test_n", type=int, default=64)
 
 
 def build_3d(args):
@@ -76,6 +88,7 @@ def build_3d(args):
         freeze_backbone=bool(args.freeze_backbone),
         aux_pose_weight=args.aux_pose_weight,
         rot_pt_l2_weight=args.rot_pt_l2_weight,
+        encoder_init=args.encoder_init,
         compute_dtype=args.compute_dtype,
     )
     model = Diffusion3D(cfg)
@@ -85,7 +98,11 @@ def build_3d(args):
         category=args.category,
         min_num_part=args.min_num_part,
         max_num_part=args.max_num_part,
+        train_n=args.train_n,
+        test_n=args.test_n,
         seed=args.seed,
+        canonical=args.synthetic_canonical,
+        voronoi=args.synthetic_voronoi,
     )
     return model, train_ds, test_ds, cats
 

@@ -44,14 +44,42 @@ def _quat_to_matrix(q: np.ndarray) -> np.ndarray:
     ).reshape(*q.shape[:-1], 3, 3)
 
 
+def _canonical_field(seed: int = 1234, k: int = 12) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fixed radial-texture basis shared by EVERY object: frequencies spanning
+    ~1-8 cycles with random (but fixed) directions and phases. The 3D analog of
+    the 2D generator's `canonical`/`hf_detail` fields (datasets.py): Breaking-
+    Bad objects sit in consistent canonical poses, so a fragment's surface
+    detail correlates with its assembled-frame orientation — without a shared
+    field, per-part rotation is undecodable from geometry and gd_r can never
+    beat the Haar-random mean 2.2074 (measured: results/diagnostics/
+    decodability_probe_3d.json)."""
+    rng = np.random.default_rng(seed)
+    dirs = rng.normal(size=(k, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    freqs = np.geomspace(1.5, 8.0, k)[:, None] * dirs
+    phases = rng.uniform(0, 2 * np.pi, size=k)
+    amps = np.geomspace(1.0, 0.45, k)  # mild high-frequency roll-off
+    return freqs.astype(np.float64), phases, amps
+
+
+_FIELD = _canonical_field()
+
+
 class SyntheticFractures:
     """Procedural fractured objects.
 
-    Each object: a deformed unit-sphere point cloud cut into 2..max_num_part
-    pieces by random planes through the origin. Per part, sample `num_points`
-    points, recenter (the offset is the gt translation) and rotate by a random
-    quaternion (the gt rotation) — mirroring the real pipeline's gt
-    construction (breakingbad_dt.py:77-95).
+    Each object: a radially-deformed unit-sphere surface cloud fractured into
+    2..max_num_part CONNECTED pieces by a Voronoi partition (seed points on the
+    sphere), per-part sampled to `num_points`, recentered (the offset is the gt
+    translation) and rotated by a random quaternion (the gt rotation) —
+    mirroring the real pipeline's gt construction (breakingbad_dt.py:77-95).
+
+    `canonical` mixes a FIXED deformation field (shared across all objects,
+    `_canonical_field`) with an object-specific low-frequency field. Round-3
+    finding: the original plane-cut generator produced parts that were unions
+    of disconnected wedges of an object-random blob — per-part orientation was
+    statistically undecodable, and 3D rotation metrics pinned at the Haar-
+    random value however long the model trained (VERDICT r2 missing #2).
     """
 
     def __init__(
@@ -62,6 +90,8 @@ class SyntheticFractures:
         max_num_part: int = 8,
         n_categories: int = 4,
         seed: int = 0,
+        canonical: float = 0.6,
+        voronoi: bool = True,
     ):
         self.n = n
         self.num_points = num_points
@@ -69,6 +99,8 @@ class SyntheticFractures:
         self.max_num_part = max_num_part
         self.n_categories = n_categories
         self.seed = seed
+        self.canonical = canonical
+        self.voronoi = voronoi
 
     @property
     def category_names(self) -> list[str]:
@@ -77,37 +109,92 @@ class SyntheticFractures:
     def __len__(self) -> int:
         return self.n
 
+    # canonical-frame global anisotropy: every object is stretched along the
+    # same fixed axes (the procedural analog of "objects have an up": bottle
+    # fragments are tall, plate fragments are flat). The strongest and
+    # lowest-frequency per-part orientation cue — surface texture alone left
+    # the supervised rotation probe at the Haar-random mean.
+    _ELLIPSOID = np.array([1.45, 1.0, 0.62], dtype=np.float64)
+
+    def _radius(self, dirs: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """Radial extent r(direction): canonical-weighted fixed texture field +
+        object-specific low-frequency variety."""
+        freqs = rng.normal(size=(3, 3))
+        s_obj = np.sin(dirs @ freqs.T).sum(-1) / np.sqrt(3.0)
+        f, ph, a = _FIELD
+        s_fix = (a * np.sin(dirs @ f.T + ph)).sum(-1) / np.linalg.norm(a)
+        c = self.canonical
+        return 1.0 + 0.3 * np.tanh(np.sqrt(3.0) * ((1 - c) * s_obj + c * s_fix))
+
+    def _stretch(self) -> np.ndarray:
+        return 1.0 + self.canonical * (self._ELLIPSOID - 1.0)
+
+    def _deform(self, pts: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """Surface embedding of unit directions: radial texture then the fixed
+        ellipsoid stretch (kept for the shared-field regression test)."""
+        out = pts * self._radius(pts, rng)[:, None]
+        return (out * self._stretch()).astype(np.float32)
+
     def __getitem__(self, idx: int) -> dict:
         rng = np.random.default_rng((self.seed, idx))
         p = int(rng.integers(self.min_num_part, self.max_num_part + 1))
 
-        # dense blob surface
+        # dense blob surface directions
         n_dense = self.num_points * max(p, 4) * 2
-        pts = rng.normal(size=(n_dense, 3))
-        pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
-        # smooth radial deformation for shape variety
-        freqs = rng.normal(size=(3, 3))
-        r = 1.0 + 0.3 * np.tanh(np.sin(pts @ freqs.T).sum(-1))
-        pts = (pts * r[:, None]).astype(np.float32)
+        sphere_dirs = rng.normal(size=(n_dense, 3))
+        sphere_dirs /= np.linalg.norm(sphere_dirs, axis=-1, keepdims=True)
+        radius = self._radius(sphere_dirs, rng)
+        stretch = self._stretch()
 
-        # cut into p cells by p-1 random planes: cell id = bit pattern of sides
-        labels = np.zeros(len(pts), dtype=np.int64)
-        normals = rng.normal(size=(max(p - 1, 1), 3))
-        normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
-        for k in range(p - 1):
-            labels = labels * 2 + (pts @ normals[k] > 0)
-        # map arbitrary cell ids onto p part slots
-        uniq = np.unique(labels)
-        remap = {u: i % p for i, u in enumerate(uniq)}
-        labels = np.vectorize(remap.get)(labels)
+        if self.voronoi:
+            # p connected wedge cells: nearest Voronoi seed on the direction
+            # sphere → radial cones. Each FRAGMENT's surface = its outer cap
+            # + its radial fracture WALLS (the boundary sheets it shares with
+            # adjacent cells) — real Breaking-Bad fragments are solids whose
+            # sampled surface includes the fracture faces (the relational
+            # matching cue, breakingbad_dt.py:113-134); thin surface caps
+            # alone left even supervised rotation probes at chance.
+            seeds = rng.normal(size=(p, 3))
+            seeds /= np.linalg.norm(seeds, axis=-1, keepdims=True)
+            dots = sphere_dirs @ seeds.T  # (M, p)
+            top2 = np.argsort(-dots, axis=-1)[:, :2]
+            labels = top2[:, 0]
+            gap = np.take_along_axis(dots, top2[:, :1], -1) - np.take_along_axis(dots, top2[:, 1:2], -1)
+            in_band = gap[:, 0] < 0.10  # directions near a cell boundary
+            # outer-cap points
+            outer = sphere_dirs * radius[:, None] * stretch
+            # fracture-wall points: radial fill along boundary directions
+            t = rng.uniform(0.12, 1.0, size=in_band.sum())
+            wall = sphere_dirs[in_band] * (radius[in_band] * t)[:, None] * stretch
+            wall_labels = labels[in_band]
+            pts = np.concatenate([outer, wall]).astype(np.float32)
+            labels = np.concatenate([labels, wall_labels])
+        else:
+            # legacy plane-cut cells (disconnected unions; kept for the
+            # decodability A/B probe — scripts/cpu_probe_3d.py)
+            pts = (sphere_dirs * radius[:, None] * stretch).astype(np.float32)
+            labels = np.zeros(len(pts), dtype=np.int64)
+            normals = rng.normal(size=(max(p - 1, 1), 3))
+            normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+            for k in range(p - 1):
+                labels = labels * 2 + (pts @ normals[k] > 0)
+            uniq = np.unique(labels)
+            remap = {u: i % p for i, u in enumerate(uniq)}
+            labels = np.vectorize(remap.get)(labels)
 
         pcds = np.zeros((p, self.num_points, 3), dtype=np.float32)
         trans = np.zeros((p, 3), dtype=np.float32)
         quats = _random_quaternion(rng, p)
         for part in range(p):
-            sel = pts[labels == part]
-            if len(sel) < 8:  # degenerate cell → resample from whole blob
-                sel = pts
+            mask = labels == part
+            if mask.sum() < 8:  # degenerate cell → nearest points to its seed
+                if self.voronoi:
+                    near = np.argsort(-(sphere_dirs @ seeds[part]))[: self.num_points]
+                    mask = np.zeros(len(pts), dtype=bool)
+                    mask[near] = True
+                else:
+                    mask = np.ones(len(pts), dtype=bool)
+            sel = pts[mask]
             take = rng.integers(0, len(sel), size=self.num_points)
             cloud = sel[take]
             center = cloud.mean(0)
@@ -279,9 +366,12 @@ def get_dataset_3d(
     train_n: int = 512,
     test_n: int = 64,
     seed: int = 0,
+    canonical: float = 0.6,
+    voronoi: bool = True,
 ):
     """3D dataset factory (reference dataset_utils.get_dataset_3d :425-462).
-    Falls back to SyntheticFractures when the real data is absent."""
+    Falls back to SyntheticFractures when the real data is absent;
+    `canonical`/`voronoi` only affect the synthetic generator."""
     data_dir = data_dir or os.environ.get("BREAKING_BAD_DATA", "datasets/breaking-bad")
     split = Path(data_dir) / "data_split"
     if dataset == "breaking-bad" and (split / "everyday.train.txt").exists():
@@ -295,9 +385,11 @@ def get_dataset_3d(
         )
     else:
         train = SyntheticFractures(
-            train_n, num_points, min_num_part, min(max_num_part, 8), seed=seed
+            train_n, num_points, min_num_part, min(max_num_part, 8), seed=seed,
+            canonical=canonical, voronoi=voronoi,
         )
         test = SyntheticFractures(
-            test_n, num_points, min_num_part, min(max_num_part, 8), seed=seed + 1
+            test_n, num_points, min_num_part, min(max_num_part, 8), seed=seed + 1,
+            canonical=canonical, voronoi=voronoi,
         )
     return train, test, train.category_names

@@ -81,6 +81,10 @@ class Diffusion3DConfig:
     # than the 0.2-weight quat cosine on weakly-asymmetric parts).
     aux_pose_weight: float = 0.0
     rot_pt_l2_weight: float = 0.0
+    # npz subtree {"encoder": ...} from scripts/tpu_pretrain_encoder_3d.py —
+    # pose-pretrained point encoder, the 3D counterpart of the 2D recipe's
+    # encoder_init (the no-egress stand-in for ImageNet-pretrained towers)
+    encoder_init: str = ""
     compute_dtype: str = "float32"
     attention_impl: str = "auto"  # xla | pallas | auto
     remat: bool = False
@@ -136,7 +140,18 @@ class Diffusion3D:
             jnp.ones((1, p, p), dtype=bool),
             jnp.ones((1, p), dtype=bool),
         )
-        return {"encoder": enc_params["params"], "denoiser": den_params["params"]}
+        params = {"encoder": enc_params["params"], "denoiser": den_params["params"]}
+        if self.cfg.encoder_init:
+            from ..utils.params import load_params, tree_shapes_match
+
+            loaded = load_params(self.cfg.encoder_init)["encoder"]
+            if not tree_shapes_match(loaded, params["encoder"]):
+                raise ValueError(
+                    f"encoder_init {self.cfg.encoder_init!r} does not match the "
+                    f"{self.cfg.backbone} point encoder's parameter structure"
+                )
+            params = {**params, "encoder": loaded}
+        return params
 
     # -------------------------------------------------------------- features
 
