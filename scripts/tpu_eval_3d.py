@@ -1,0 +1,133 @@
+"""Held-out 3D eval of a trained SE(3) checkpoint: inference-ratio sweep +
+part-accuracy threshold curve.
+
+VERDICT r2 item #2 follow-up: part_acc uses the reference's per-part CD<0.01
+gate (utils_3d.py:1089-1129), which demands near-exact poses. This script
+reports, for each DDIM inference_ratio, the full per-part CD distribution
+(part_acc at several thresholds + percentiles) so "0.0" can be distinguished
+from "just above the gate" — alongside rmse_t / rmse_r / gd_r per category.
+
+  python scripts/tpu_eval_3d.py --ckpt weights/diffusion3d_vndgcnn \
+      --ratios 10 2 1 --out results/diagnostics/eval3d_vndgcnn.json
+"""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+import argparse
+import dataclasses
+import json
+import time
+
+t0 = time.time()
+def tick(m): print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from diffassemble_tpu.data.breaking_bad import collate_fragments, get_dataset_3d
+from diffassemble_tpu.data.batch import FragmentBatch
+from diffassemble_tpu.models import losses_3d
+from diffassemble_tpu.models.diffusion_3d import Diffusion3D, Diffusion3DConfig
+from diffassemble_tpu.ops.knn import chamfer_distance
+from diffassemble_tpu.ops import so3
+from diffassemble_tpu.train.checkpoint import CheckpointManager
+from diffassemble_tpu.train.train_state import create_train_state
+
+
+def per_part_cd(pts, pred_t, gt_t, pred_q, gt_q):
+    p1 = losses_3d.transform_pc(pred_t, pred_q, pts)
+    p2 = losses_3d.transform_pc(gt_t, gt_q, pts)
+    d1, d2 = chamfer_distance(p1, p2)
+    return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)  # (B, P)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", default="weights/diffusion3d_vndgcnn")
+    ap.add_argument("--ratios", type=int, nargs="+", default=[10, 2, 1])
+    ap.add_argument("--test_n", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--thresholds", type=float, nargs="+",
+                    default=[0.01, 0.02, 0.05, 0.1, 0.2])
+    ap.add_argument("--canonical", type=float, default=0.6)
+    ap.add_argument("--max_num_part", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="results/diagnostics/eval3d_vndgcnn.json")
+    args = ap.parse_args()
+
+    ckpt = CheckpointManager(args.ckpt)
+    base = ckpt.load_config()
+    cfg = Diffusion3DConfig(**base)
+    model = Diffusion3D(cfg)
+    # Same held-out split as the training CLI (cli/train_3d.py defaults).
+    _, test_ds, cats = get_dataset_3d(
+        "synthetic", train_n=4, test_n=args.test_n, max_num_part=args.max_num_part,
+        seed=args.seed, canonical=args.canonical, voronoi=True,
+    )
+    tick(f"devices={jax.devices()} test_n={len(test_ds)} cats={cats}")
+
+    rng = np.random.default_rng(args.seed)
+    batches = []
+    for lo in range(0, len(test_ds), args.batch):
+        samples = [test_ds[i] for i in range(lo, min(lo + args.batch, len(test_ds)))]
+        nb = collate_fragments(samples, args.max_num_part, rng=rng)
+        batches.append(FragmentBatch(*[jnp.asarray(a) for a in nb]))
+
+    params = model.init(jax.random.PRNGKey(0), batches[0])
+    state = create_train_state(params, model.make_optimizer(), jax.random.PRNGKey(1))
+    restored = ckpt.restore(state)
+    assert restored is not None, f"no checkpoint under {args.ckpt}"
+    params = restored.params
+    tick(f"restored step={int(restored.step)}")
+
+    out_rows = []
+    for ratio in args.ratios:
+        m = Diffusion3D(dataclasses.replace(cfg, inference_ratio=ratio))
+
+        @jax.jit
+        def run(p, batch):
+            final, _ = m.sample(p, batch, jax.random.PRNGKey(7))
+            pred_q, pred_t = final[..., :4], final[..., 4:7]
+            gt_q, gt_t = batch.x0[..., :4], batch.x0[..., 4:7]
+            v = batch.node_mask
+            cd = per_part_cd(batch.pcds, pred_t, gt_t, pred_q, gt_q)
+            gd = so3.geodesic_distance_rmat(
+                so3.quaternion_to_matrix(pred_q), so3.quaternion_to_matrix(gt_q))
+            return {
+                "cd": cd, "gd": gd, "v": v,
+                "rmse_t": losses_3d.trans_rmse(pred_t, gt_t, v),
+                "rmse_r": losses_3d.rot_euler_rmse(pred_q, gt_q, v),
+            }
+
+        cds, gds, rts, rrs = [], [], [], []
+        for b in batches:
+            r = jax.device_get(run(params, b))
+            mask = r["v"].astype(bool)
+            cds.append(r["cd"][mask]); gds.append(r["gd"][mask])
+            rts.append(r["rmse_t"]); rrs.append(r["rmse_r"])
+        cd = np.concatenate(cds); gd = np.concatenate(gds)
+        row = {
+            "ratio": ratio, "reverse_steps": cfg.steps // ratio,
+            "n_parts": int(cd.size),
+            "rmse_t": float(np.mean(np.concatenate(rts))),
+            "rmse_r": float(np.mean(np.concatenate(rrs))),
+            "gd_r": float(gd.mean()),
+            "part_acc": {str(t): float((cd < t).mean()) for t in args.thresholds},
+            "cd_percentiles": {str(p): float(np.percentile(cd, p))
+                               for p in (5, 10, 25, 50, 75, 90)},
+        }
+        tick(json.dumps(row))
+        out_rows.append(row)
+
+    outp = _pl.Path(args.out)
+    outp.parent.mkdir(parents=True, exist_ok=True)
+    outp.write_text(json.dumps(
+        {"ckpt": args.ckpt, "step": int(restored.step), "rows": out_rows}, indent=1))
+    tick(f"wrote {outp}")
+
+
+if __name__ == "__main__":
+    main()
