@@ -157,6 +157,7 @@ class DiscreteDiffusion2D(Diffusion2D):
             discrete=True,
             n_classes=config.n_classes,
             rot_classes=4 if config.rotation else 0,
+            aux_head=config.aux_loss_weight > 0,
             attention_impl=config.attention_impl,
             dtype=config.dtype,
         )
@@ -184,14 +185,28 @@ class DiscreteDiffusion2D(Diffusion2D):
             params = load_pretrained_features(params, self.cfg.visual_weights)
         return params
 
-    def denoise_logits(self, params, x_idx, t, feats, adj, node_mask, rot_idx=None):
+    def denoise_logits(
+        self, params, x_idx, t, feats, adj, node_mask, rot_idx=None, return_aux=False
+    ):
         kwargs = {"rot_t": rot_idx} if self.cfg.rotation else {}
+
+        def _f32(o):
+            if o is None:
+                return None
+            if isinstance(o, dict):
+                return {k: v.astype(jnp.float32) for k, v in o.items()}
+            return o.astype(jnp.float32)
+
+        if return_aux:
+            out, aux = self.denoiser.apply(
+                {"params": params["denoiser"]}, x_idx, t, feats, adj, node_mask,
+                return_aux=True, **kwargs,
+            )
+            return _f32(out), _f32(aux)
         out = self.denoiser.apply(
             {"params": params["denoiser"]}, x_idx, t, feats, adj, node_mask, **kwargs
         )
-        if isinstance(out, dict):
-            return {k: v.astype(jnp.float32) for k, v in out.items()}
-        return out.astype(jnp.float32)
+        return _f32(out)
 
     def _node_loss(self, logits, x0_idx, x_t_idx, t, alphabar, k):
         cfg = self.cfg
@@ -220,11 +235,23 @@ class DiscreteDiffusion2D(Diffusion2D):
                 jax.random.uniform(k_cf, (b, 1, 1)) >= cfg.classifier_free_prob
             ).astype(feats.dtype)
             feats = feats * keep
-        logits = self.denoise_logits(params, x_t, t, feats, batch.adj, batch.node_mask)
+        logits, aux_logits = self.denoise_logits(
+            params, x_t, t, feats, batch.adj, batch.node_mask, return_aux=True
+        )
         per_node = self._node_loss(logits, x0_idx, x_t, t, ab, cfg.n_classes)
         m = batch.node_mask.astype(per_node.dtype)
         loss = jnp.sum(per_node * m) / jnp.maximum(m.sum(), 1.0)
-        return loss, {"loss": loss}
+        metrics = {"loss": loss}
+        total = loss
+        if aux_logits is not None:
+            # feats-only readout CE — keeps dL/dfeats alive at every t (the VB
+            # loss is x_t-predictable at low t; see GraphDenoiser2D.aux_head)
+            aux_ce = cross_entropy_smoothed(aux_logits["pos"], x0_idx, cfg.n_classes)
+            aux_loss = jnp.sum(aux_ce * m) / jnp.maximum(m.sum(), 1.0)
+            metrics["aux_loss"] = aux_loss
+            total = loss + cfg.aux_loss_weight * aux_loss
+            metrics["total_loss"] = total
+        return total, metrics
 
     def sample(self, params, batch, rng, keep_trajectory=False, inference_ratio=None):
         cfg = self.cfg
@@ -292,8 +319,9 @@ class DiscreteDiffusion2DRot(DiscreteDiffusion2D):
         if cfg.only_rotation:
             x_t = x0_idx
         feats = self.visual_features(params, batch.patches)
-        out = self.denoise_logits(
-            params, x_t, t, feats, batch.adj, batch.node_mask, rot_idx=rot_t
+        out, aux_logits = self.denoise_logits(
+            params, x_t, t, feats, batch.adj, batch.node_mask, rot_idx=rot_t,
+            return_aux=True,
         )
         m = batch.node_mask.astype(jnp.float32)
         rot_loss = self._node_loss(out["rot"], rot0_idx, rot_t, t, ab, 4)
@@ -302,7 +330,15 @@ class DiscreteDiffusion2DRot(DiscreteDiffusion2D):
             x_loss = self._node_loss(out["pos"], x0_idx, x_t, t, ab, cfg.n_classes)
             losses["x_loss"] = jnp.sum(x_loss * m) / jnp.maximum(m.sum(), 1.0)
         total = sum(losses.values())
-        return total, {**losses, "loss": total}
+        metrics = {**losses, "loss": total}
+        if aux_logits is not None:
+            aux_ce = cross_entropy_smoothed(aux_logits["pos"], x0_idx, cfg.n_classes)
+            aux_ce = aux_ce + cross_entropy_smoothed(aux_logits["rot"], rot0_idx, 4)
+            aux_loss = jnp.sum(aux_ce * m) / jnp.maximum(m.sum(), 1.0)
+            metrics["aux_loss"] = aux_loss
+            total = total + cfg.aux_loss_weight * aux_loss
+            metrics["total_loss"] = total
+        return total, metrics
 
     def sample(self, params, batch, rng, keep_trajectory=False, inference_ratio=None):
         cfg = self.cfg

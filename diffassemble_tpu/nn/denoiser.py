@@ -104,7 +104,7 @@ class GraphDenoiser2D(nn.Module):
         combined = FusionMLP(128, combined_dim, dtype=self.dtype, name="fusion")(combined)
 
         aux_out = None
-        if self.aux_head and not self.discrete:
+        if self.aux_head:
             # features ONLY — no x_t/time path. An aux head that sees pos_feats
             # can satisfy its loss by copying x_t (measured: rot recipe loss
             # 0.11 while the sampler emitted constant poses); reading the
@@ -112,12 +112,25 @@ class GraphDenoiser2D(nn.Module):
             # gradient must build discriminative features. The LayerNorm
             # brackets prevent the two-layer head's W1=W2=0 saddle (measured:
             # without them the readout pins at the mean floor with grads→0.01).
+            # The discrete models need it just as much: the D3PM VB loss is
+            # dominated by low-t terms that are predictable from x_t alone, and
+            # the discrete_rot quality run measurably collapsed this way
+            # (encoder grads exactly 0 from step ~600, sampler at chance).
             a = nn.LayerNorm(name="aux_ln0", dtype=self.dtype)(feats.astype(self.dtype))
             a = nn.Dense(128, dtype=self.dtype, name="aux_final_0")(a)
             a = nn.gelu(nn.LayerNorm(name="aux_ln1", dtype=self.dtype)(a))
-            aux_out = nn.Dense(
-                self.output_channels, dtype=self.dtype, name="aux_final_1"
-            )(a)
+            if self.discrete:
+                aux_out = {
+                    "pos": nn.Dense(self.n_classes, dtype=self.dtype, name="aux_final_pos")(a)
+                }
+                if self.rot_classes:
+                    aux_out["rot"] = nn.Dense(
+                        self.rot_classes, dtype=self.dtype, name="aux_final_rot"
+                    )(a)
+            else:
+                aux_out = nn.Dense(
+                    self.output_channels, dtype=self.dtype, name="aux_final_1"
+                )(a)
 
         gnn = make_gnn(
             self.architecture,

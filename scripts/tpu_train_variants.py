@@ -67,10 +67,14 @@ def make_model(variant: str, hw: int, steps: int, backbone: str = "resnet18equiv
     )
     if variant == "discrete":
         return DiscreteDiffusion2D(DiscreteDiffusion2DConfig(
-            rotation=False, n_classes=n, **common)), False
+            rotation=False, n_classes=n, aux_loss_weight=0.1, **common)), False
     if variant == "discrete_rot":
+        # aux readout is load-bearing here: without it the run measurably
+        # collapsed (encoder grads exactly 0 by step ~600, sampler at chance —
+        # the D3PM flavor of the round-2 x_t shortcut)
         return DiscreteDiffusion2DRot(DiscreteDiffusion2DConfig(
-            rotation=True, n_classes=n, cold_diffusion=True, **common)), True
+            rotation=True, n_classes=n, cold_diffusion=True,
+            aux_loss_weight=0.1, **common)), True
     if variant == "missing":
         return Diffusion2D(Diffusion2DConfig(
             rotation=True, mean_type="xstart", aux_loss_weight=0.1, **common)), True

@@ -4,6 +4,7 @@ explicit matrix products, loss/sampler smoke, cold-diffusion rotation chain."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from diffassemble_tpu.data import PuzzleBatch, collate_puzzles, get_dataset
 from diffassemble_tpu.models.diffusion_2d_discrete import (
@@ -188,3 +189,47 @@ def test_cold_diffusion_patch_rotation_gather():
         ]
     )
     np.testing.assert_allclose(np.asarray(cond), ref, atol=1e-6)
+
+
+def test_discrete_aux_readout_keeps_encoder_gradient_alive():
+    """Regression: the discrete_rot quality run collapsed via the D3PM x_t
+    shortcut (encoder grads exactly 0 by step ~600, sampler at chance). With
+    aux_loss_weight>0 the feats-only readout CE must (a) appear in metrics and
+    (b) give the encoder a nonzero gradient path that does not route through
+    the main VB head."""
+    batch = _tiny_batch(rotation=True)
+    cfg = DiscreteDiffusion2DConfig(
+        steps=10, inference_ratio=5, backbone="tiny", n_layers=2, hidden_dim=32,
+        heads=4, n_classes=4, rotation=True, cold_diffusion=True,
+        discrete_loss="vb", aux_loss_weight=0.1,
+    )
+    model = DiscreteDiffusion2DRot(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    assert "aux_final_pos" in params["denoiser"]
+    assert "aux_final_rot" in params["denoiser"]
+    total, metrics = model.loss(params, batch, jax.random.PRNGKey(1))
+    assert "aux_loss" in metrics and np.isfinite(float(metrics["aux_loss"]))
+    assert float(total) > float(metrics["loss"]) - 1e-6
+
+    g = jax.grad(lambda p: model.loss(p, batch, jax.random.PRNGKey(2))[0])(params)
+    enc_norm = float(
+        optax.global_norm(jax.tree_util.tree_map_with_path(
+            lambda pth, x: x if str(pth[0].key) == "encoder" else jnp.zeros_like(x), g))
+    )
+    assert enc_norm > 0, "encoder receives no gradient"
+    # sampler still runs with the aux head present (aux inactive at sampling)
+    res = model.sample(params, batch, jax.random.PRNGKey(3))
+    assert res.final.shape == (2, 4, 4)
+
+
+def test_discrete_pos_aux_readout():
+    batch = _tiny_batch()
+    cfg = DiscreteDiffusion2DConfig(
+        steps=10, inference_ratio=5, backbone="tiny", n_layers=2, hidden_dim=32,
+        heads=4, n_classes=4, discrete_loss="hybrid", aux_loss_weight=0.1,
+    )
+    model = DiscreteDiffusion2D(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    assert "aux_final_pos" in params["denoiser"]
+    total, metrics = model.loss(params, batch, jax.random.PRNGKey(1))
+    assert "aux_loss" in metrics and np.isfinite(float(total))
