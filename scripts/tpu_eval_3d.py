@@ -83,6 +83,40 @@ def main():
     params = restored.params
     tick(f"restored step={int(restored.step)}")
 
+    # --- metric calibration: part_acc of GT poses under KNOWN pose noise.
+    # part_acc==1.0 at zero noise sanity-checks the metric; the noise curve
+    # says what pose error the CD<threshold gate corresponds to on THIS
+    # data's scale (VERDICT r2: "verify with a ground-truth-poses sanity eval").
+    @jax.jit
+    def calib(batch, key, rot_deg, trans_sigma):
+        k1, k2 = jax.random.split(key)
+        v = batch.node_mask
+        gt_q, gt_t = batch.x0[..., :4], batch.x0[..., 4:7]
+        axis = jax.random.normal(k1, gt_t.shape)
+        axis = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + 1e-9)
+        dr = so3.rotvec_to_rmat(axis * jnp.deg2rad(rot_deg))
+        pred_q = so3.matrix_to_quaternion(dr @ so3.quaternion_to_matrix(gt_q))
+        pred_t = gt_t + trans_sigma * jax.random.normal(k2, gt_t.shape)
+        cd = per_part_cd(batch.pcds, pred_t, gt_t, pred_q, gt_q)
+        return cd, v
+
+    calib_rows = []
+    for rot_deg, trans_sigma in [(0.0, 0.0), (2.0, 0.0), (5.0, 0.0),
+                                 (10.0, 0.0), (30.0, 0.0),
+                                 (0.0, 0.01), (0.0, 0.05), (5.0, 0.02)]:
+        cds = []
+        for i, b in enumerate(batches):
+            cd, v = jax.device_get(calib(b, jax.random.PRNGKey(100 + i),
+                                         rot_deg, trans_sigma))
+            cds.append(cd[v.astype(bool)])
+        cd = np.concatenate(cds)
+        calib_rows.append({
+            "rot_deg": rot_deg, "trans_sigma": trans_sigma,
+            "part_acc": {str(t): float((cd < t).mean()) for t in args.thresholds},
+            "cd_median": float(np.median(cd)),
+        })
+        tick(json.dumps(calib_rows[-1]))
+
     out_rows = []
     for ratio in args.ratios:
         m = Diffusion3D(dataclasses.replace(cfg, inference_ratio=ratio))
@@ -112,8 +146,8 @@ def main():
         row = {
             "ratio": ratio, "reverse_steps": cfg.steps // ratio,
             "n_parts": int(cd.size),
-            "rmse_t": float(np.mean(np.concatenate(rts))),
-            "rmse_r": float(np.mean(np.concatenate(rrs))),
+            "rmse_t": float(np.mean(np.asarray(rts, dtype=np.float64))),
+            "rmse_r": float(np.mean(np.asarray(rrs, dtype=np.float64))),
             "gd_r": float(gd.mean()),
             "part_acc": {str(t): float((cd < t).mean()) for t in args.thresholds},
             "cd_percentiles": {str(p): float(np.percentile(cd, p))
