@@ -238,10 +238,13 @@ def test_trainer_resume_from_checkpoint(tmp_path):
 
 
 def test_part_acc_threshold_calibration():
-    """Metric-sanity regression (diag_3d_rot.json part B): part_acc must be
-    1.0 at ground-truth poses, still 1.0 at a 5° rotation perturbation, and 0
-    by 15° — i.e. the CD<0.01 gate is calibrated to the synthetic-blob scale,
-    so a 0.0 reading means far-from-GT predictions, not a broken metric."""
+    """Metric-sanity regression (diag_3d_rot.json part B; full-size curves in
+    results/diagnostics/eval3d_vndgcnn.json): part_acc must be 1.0 at
+    ground-truth poses, still 1.0 at 2°, mostly pass at 5°, and reach 0 by
+    15° — i.e. the CD<0.01 gate is calibrated to the wedge-fragment scale, so
+    a 0.0 reading means far-from-GT predictions, not a broken metric. (The
+    round-3 wedge generator made fragments larger than the old blobs, which
+    tightened the angular meaning of the gate: measured 5°→0.875, 10°→0.13.)"""
     from diffassemble_tpu.data.batch import FragmentBatch
     from diffassemble_tpu.data.breaking_bad import SyntheticFractures, collate_fragments
     from diffassemble_tpu.models import losses_3d
@@ -262,9 +265,11 @@ def test_part_acc_threshold_calibration():
         dR = so3.rotvec_to_rmat(axis * ang)
         return so3.matrix_to_quaternion(so3._mm(dR, so3.quaternion_to_matrix(gt_q)))
 
+    pa2 = float(losses_3d.part_accuracy(batch.pcds, gt_t, gt_t, perturb(2.0), gt_q, v).mean())
     pa5 = float(losses_3d.part_accuracy(batch.pcds, gt_t, gt_t, perturb(5.0), gt_q, v).mean())
     pa15 = float(losses_3d.part_accuracy(batch.pcds, gt_t, gt_t, perturb(15.0), gt_q, v).mean())
-    assert pa5 == 1.0
+    assert pa2 == 1.0
+    assert pa5 >= 0.75
     assert pa15 == 0.0
 
 
