@@ -87,7 +87,15 @@ def main():
     ap.add_argument("--viz_every_eval", type=int, default=1,
                     help="save N reconstruction PNGs per eval (0 = off)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--deadline_margin", type=float, default=3600.0,
+                    help="stop training this many seconds before the round "
+                         "cutoff so the driver's bench.py can claim the chip "
+                         "(VERDICT r3 weak #1; claims take 5-10 min)")
     args = ap.parse_args()
+
+    from diffassemble_tpu.utils.deadline import round_deadline, time_left
+    tick(f"round deadline {round_deadline():.0f} "
+         f"({time_left(args.deadline_margin)/60:.0f} min usable)")
 
     sizes = [(s, s) for s in args.hw]
     hw = sizes[0]
@@ -216,6 +224,10 @@ def main():
     step = int(state.step)
     t_last = time.time()
     while step < args.max_steps:
+        if step % 50 == 0 and time_left(args.deadline_margin) <= 0:
+            tick(f"deadline guard: stopping at step {step} "
+                 f"({args.deadline_margin/60:.0f} min margin)")
+            break
         state, aux = train_step(state, data, args.batch_size)
         step = int(state.step)
         if step % args.log_every == 0 or step == 1:
@@ -227,6 +239,8 @@ def main():
             ckpt.save(step, state, m)
             t_last = time.time()
     m = run_eval(state.params, "final", step)
+    if ckpt.latest_step() != step:  # deadline-guard exit between eval points
+        ckpt.save(step, state, m)
     tick(f"final: overall_acc={m.get('overall_acc', float('nan')):.4f} "
          f"piece_acc={m.get('overall__piece_acc', float('nan')):.4f}")
 

@@ -84,7 +84,7 @@ def make_model(variant: str, hw: int, steps: int, backbone: str = "resnet18equiv
 def run_variant(variant, args, data, eval_data):
     model, rotation = make_model(variant, args.hw, args.steps,
                                  backbone=args.backbone, n_layers=args.n_layers)
-    run_dir = f"runs/quality-{variant}{args.hw}"
+    run_dir = f"runs/quality-{variant}{args.hw}{args.run_suffix}"
     tick(f"=== {variant} → {run_dir}")
     missing_frac = args.missing_frac if variant == "missing" else 0.0
 
@@ -126,9 +126,14 @@ def run_variant(variant, args, data, eval_data):
         logger.log(-1, {f"{tag}/{k}": v for k, v in m.items()})
         return m
 
+    from diffassemble_tpu.utils.deadline import time_left
+
     step = 0
     t_last = time.time()
     while step < args.max_steps:
+        if step % 50 == 0 and time_left(args.deadline_margin) <= 0:
+            tick(f"deadline guard: stopping {variant} at step {step}")
+            break
         state, aux = train_step(state, data, args.batch_size)
         step = int(state.step)
         if step % args.log_every == 0 or step == 1:
@@ -140,6 +145,8 @@ def run_variant(variant, args, data, eval_data):
             ckpt.save(step, state, m)
             t_last = time.time()
     m = run_eval(state.params, "final")
+    if ckpt.latest_step() != step:  # deadline-guard exit between eval points
+        ckpt.save(step, state, m)
     tick(f"{variant} final: overall_acc={m.get('overall_acc', float('nan')):.4f} "
          f"piece_acc={m.get('overall__piece_acc', float('nan')):.4f}")
     return m
@@ -162,6 +169,11 @@ def main():
     ap.add_argument("--n_layers", type=int, default=4)
     ap.add_argument("--missing_frac", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--run_suffix", default="",
+                    help="append to runs/quality-<variant><hw> (fresh run dirs)")
+    ap.add_argument("--deadline_margin", type=float, default=3600.0,
+                    help="stop this many seconds before the round cutoff so "
+                         "the driver's bench.py can claim the chip")
     args = ap.parse_args()
 
     hw = (args.hw, args.hw)
