@@ -10,14 +10,74 @@ batched; reports seconds per puzzle. `vs_baseline` is the speedup factor
 (reference 5 s / ours).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Two operating points, one methodology (VERDICT r3 weak #2): the primary
+`value` is the latency-optimal point (small batch, default 8); the same line
+carries the throughput-optimal point (saturating batch, default 32) as
+`throughput_*` fields. Both measure the identical jitted stage set — visual
+encoder forward + 30 DDIM scan steps of the graph denoiser, device-resident
+in/out (no host transfer, no assignment; `piece_acc` is measured separately
+via model.evaluate which DOES include greedy assignment).
+
+Robustness (VERDICT r3 weak #1): the axon TPU plugin's claim cycle takes
+5-10 min after the previous claimant exits, and its backend-init failure
+poisons the process. The parent wrapper below re-execs the whole benchmark on
+`UNAVAILABLE` init errors, retrying for up to ~25 min, so a queue script that
+released the chip moments before the driver runs bench.py can't produce an
+rc=1 artifact (BENCH_r03.json was exactly that).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+_RETRY_PATTERNS = (
+    "Unable to initialize backend",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+)
+
+
+def _supervise() -> int:
+    """Re-exec the benchmark until it succeeds or errors non-transiently.
+
+    The axon plugin caches a failed backend handle for the life of the
+    process, so retrying in-process is useless — each attempt must be a fresh
+    interpreter. Diagnostics go to stderr; the child's final stdout line (the
+    JSON contract) is relayed verbatim.
+    """
+    deadline = time.time() + float(os.environ.get("BENCH_RETRY_BUDGET_S", "1500"))
+    env = dict(os.environ, BENCH_CHILD="1")
+    attempt = 0
+    while True:
+        attempt += 1
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        sys.stderr.write(proc.stdout)
+        sys.stderr.write(proc.stderr)
+        blob = proc.stdout + proc.stderr
+        transient = any(p in blob for p in _RETRY_PATTERNS)
+        if not transient or time.time() + 60 > deadline:
+            sys.stderr.write(
+                f"[bench] attempt {attempt} failed rc={proc.returncode} "
+                f"(transient={transient}); giving up\n")
+            return proc.returncode or 1
+        sys.stderr.write(
+            f"[bench] attempt {attempt}: TPU backend unavailable (claim "
+            f"cycle); retrying in 60s\n")
+        time.sleep(60)
 
 
 def main() -> None:
@@ -40,7 +100,9 @@ def main() -> None:
     import os
 
     HW = (30, 30)
-    BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+    BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # latency-optimal point
+    TP_BATCH = int(os.environ.get("BENCH_BATCH_TP", "32"))  # throughput point
+    NSAMP = max(BATCH, TP_BATCH)
     N = HW[0] * HW[1]
 
     cfg = Diffusion2DConfig(
@@ -96,20 +158,22 @@ def main() -> None:
                    "hf_detail": d.get("hf_detail", 0.0)}
         _, test_ds, _ = get_dataset(
             "synthetic", puzzle_sizes=[30], rotation=cfg.rotation,
-            degree="10%", train_n=1, test_n=max(BATCH, 8), seed=123, **dkw,
+            degree="10%", train_n=1, test_n=NSAMP, seed=123, **dkw,
         )
-        samples = [test_ds[i] for i in range(BATCH)]
+        samples = [test_ds[i] for i in range(NSAMP)]
     else:
         samples = []
-        for i in range(BATCH):
+        for i in range(NSAMP):
             img = rng.random((HW[0] * 32, HW[1] * 32, 3), dtype=np.float32)
             s = make_puzzle(img, HW[0], HW[1], 32, rotation=cfg.rotation, rng=rng)
             s["adj"] = adj
             s["patches_dim"] = np.array(HW, dtype=np.int32)
             samples.append(s)
-    nb = collate_puzzles(samples, n_max=N)
-    batch = PuzzleBatch(*[jnp.asarray(a) for a in nb])
+    def make_batch(bs):
+        nb = collate_puzzles(samples[:bs], n_max=N)
+        return PuzzleBatch(*[jnp.asarray(a) for a in nb])
 
+    batch = make_batch(BATCH)
     params = model.init(jax.random.PRNGKey(0), batch)
     acc = None
     if trained:
@@ -119,7 +183,7 @@ def main() -> None:
         restored = ckpt.restore(state)
         if restored is not None:
             params = restored.params
-            m = jax.jit(model.evaluate)(params, batch, jax.random.PRNGKey(2))
+            m = jax.jit(model.evaluate)(params, make_batch(NSAMP), jax.random.PRNGKey(2))
             acc = float(np.asarray(m["piece_acc"]).mean())
         else:
             trained = False
@@ -128,51 +192,60 @@ def main() -> None:
     def run(params, batch, key):
         return model.sample(params, batch, key).final
 
-    key = jax.random.PRNGKey(1)
-    lowered = run.lower(params, batch, key)
-    compiled = lowered.compile()
-    out = run(params, batch, key)
-    out.block_until_ready()  # compile + warmup
+    # bf16 peak FLOP/s by device kind (VERDICT r2 weak #7: don't assume v5e)
+    kind = (jax.devices()[0].device_kind or "").lower()
+    peaks = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12,
+             "v6e": 918e12, "v6 lite": 918e12, "v3": 123e12}
+    peak = next((v for k, v in peaks.items() if k in kind),
+                197e12 if jax.default_backend() == "tpu" else None)
 
-    times = []
-    for i in range(3):
-        k = jax.random.fold_in(key, i)
-        t0 = time.perf_counter()
-        out = run(params, batch, k)
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
+    def measure(bs):
+        """(s/puzzle, mfu, gflops) for one full sampler call at batch bs.
 
-    s_per_puzzle = min(times) / BATCH
+        Identical stage set at every batch size: encoder forward + 30 DDIM
+        scan steps, device in/out. min-of-3 steady-state reps after warmup.
+        """
+        b = make_batch(bs)
+        key = jax.random.PRNGKey(1)
+        compiled = run.lower(params, b, key).compile()
+        run(params, b, key).block_until_ready()  # warmup past compile
+        times = []
+        for i in range(3):
+            k = jax.random.fold_in(key, i)
+            t0 = time.perf_counter()
+            run(params, b, k).block_until_ready()
+            times.append(time.perf_counter() - t0)
+        mfu = flops = None
+        try:
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0))
+            if flops > 0 and peak:
+                mfu = flops / min(times) / peak
+        except Exception:
+            pass
+        return min(times) / bs, mfu, flops
 
-    # MFU: compiled-executable FLOPs (XLA cost analysis) vs the chip's bf16
-    # peak — judges "fast" against hardware speed-of-light, not just the
-    # reference's wall clock (VERDICT.md round-1 item #10)
-    mfu = flops = None
-    try:
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops = float(ca.get("flops", 0.0))
-        # bf16 peak FLOP/s by device kind (VERDICT r2 weak #7: don't assume v5e)
-        kind = (jax.devices()[0].device_kind or "").lower()
-        peaks = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12,
-                 "v6e": 918e12, "v6 lite": 918e12, "v3": 123e12}
-        peak = next((v for k, v in peaks.items() if k in kind),
-                    197e12 if jax.default_backend() == "tpu" else None)
-        if flops > 0 and peak:
-            mfu = flops / min(times) / peak
-    except Exception:
-        pass
-
+    s_per_puzzle, mfu, flops = measure(BATCH)
     rec = {
         "metric": "celeba_30x30_sampling_latency",
         "value": round(s_per_puzzle, 4),
         "unit": "s/puzzle",
         "vs_baseline": round(5.0 / s_per_puzzle, 2),
+        "batch": BATCH,
+        "stages": "encoder+ddim30, device in/out (assignment only in piece_acc)",
     }
     if flops:
         rec["sampler_gflops"] = round(flops / 1e9, 1)
     if mfu is not None:
         rec["mfu"] = round(mfu, 4)
+    if TP_BATCH != BATCH:
+        tp_spp, tp_mfu, _ = measure(TP_BATCH)
+        rec["throughput_batch"] = TP_BATCH
+        rec["throughput_s_per_puzzle"] = round(tp_spp, 4)
+        rec["throughput_puzzles_per_s"] = round(1.0 / tp_spp, 2)
+        if tp_mfu is not None:
+            rec["throughput_mfu"] = round(tp_mfu, 4)
     rec["trained_checkpoint"] = bool(trained)
     if acc is not None:
         rec["piece_acc"] = round(acc, 4)
@@ -180,4 +253,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_supervise())
