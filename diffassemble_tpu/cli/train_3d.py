@@ -66,6 +66,15 @@ def add_3d_args(ap: argparse.ArgumentParser) -> None:
                          "plane-cut unions (False)")
     ap.add_argument("--train_n", type=int, default=512)
     ap.add_argument("--test_n", type=int, default=64)
+    # relative-pose pathway (nn/relpose.py, docs/DESIGN.md §8): pairwise
+    # aux losses + neighbour-consensus conditioning on VN features
+    ap.add_argument("--rel_pose_weight", type=float, default=0.0)
+    ap.add_argument("--rel_condition", type=str2bool, default=False)
+    ap.add_argument("--contact_thresh", type=float, default=0.1)
+    ap.add_argument("--wall_detail", type=float, default=0.0,
+                    help="corrugation amplitude of synthetic fracture walls")
+    ap.add_argument("--wall_boost", type=int, default=1,
+                    help="wall point-density multiplier in SyntheticFractures")
 
 
 def build_3d(args):
@@ -90,6 +99,9 @@ def build_3d(args):
         rot_pt_l2_weight=args.rot_pt_l2_weight,
         encoder_init=args.encoder_init,
         compute_dtype=args.compute_dtype,
+        rel_pose_weight=args.rel_pose_weight,
+        rel_condition=bool(args.rel_condition),
+        contact_thresh=args.contact_thresh,
     )
     model = Diffusion3D(cfg)
     train_ds, test_ds, cats = get_dataset_3d(
@@ -103,6 +115,8 @@ def build_3d(args):
         seed=args.seed,
         canonical=args.synthetic_canonical,
         voronoi=args.synthetic_voronoi,
+        wall_detail=args.wall_detail,
+        wall_boost=args.wall_boost,
     )
     return model, train_ds, test_ds, cats
 

@@ -92,6 +92,8 @@ class SyntheticFractures:
         seed: int = 0,
         canonical: float = 0.6,
         voronoi: bool = True,
+        wall_detail: float = 0.0,
+        wall_boost: int = 1,
     ):
         self.n = n
         self.num_points = num_points
@@ -101,6 +103,17 @@ class SyntheticFractures:
         self.seed = seed
         self.canonical = canonical
         self.voronoi = voronoi
+        # Fracture-wall saliency (round-4, docs/DESIGN.md §8): real Breaking-
+        # Bad fracture surfaces are large, rough, and uniquely mating — the
+        # relational cue the relative-pose pathway feeds on. `wall_detail`
+        # corrugates each wall sheet with a displacement field computed from
+        # (direction, radial depth) only, so BOTH fragments sharing a wall see
+        # the same corrugation (mating is preserved exactly); `wall_boost`
+        # multiplies the wall point density (radial fill samples per boundary
+        # direction), shifting each part's sampled surface toward its walls
+        # the way real fragment scans are wall-dominated.
+        self.wall_detail = wall_detail
+        self.wall_boost = max(1, int(wall_boost))
 
     @property
     def category_names(self) -> list[str]:
@@ -163,10 +176,29 @@ class SyntheticFractures:
             in_band = gap[:, 0] < 0.10  # directions near a cell boundary
             # outer-cap points
             outer = sphere_dirs * radius[:, None] * stretch
-            # fracture-wall points: radial fill along boundary directions
-            t = rng.uniform(0.12, 1.0, size=in_band.sum())
-            wall = sphere_dirs[in_band] * (radius[in_band] * t)[:, None] * stretch
-            wall_labels = labels[in_band]
+            # fracture-wall points: radial fill along boundary directions,
+            # wall_boost samples per direction
+            reps = self.wall_boost
+            band_dirs = np.repeat(sphere_dirs[in_band], reps, axis=0)
+            band_radius = np.repeat(radius[in_band], reps)
+            band_top2 = np.repeat(top2[in_band], reps, axis=0)
+            wall_labels = np.repeat(labels[in_band], reps)
+            t = rng.uniform(0.12, 1.0, size=len(band_dirs))
+            wall = band_dirs * (band_radius * t)[:, None]
+            if self.wall_detail > 0:
+                # corrugate the shared sheet: displacement along the local
+                # boundary normal, phase varying with radial depth and with
+                # position along the boundary — a function of (direction, t)
+                # only, identical for the two mating fragments
+                sa = seeds[band_top2[:, 0]]
+                sb = seeds[band_top2[:, 1]]
+                nvec = sa - sb
+                nvec -= band_dirs * np.sum(nvec * band_dirs, -1, keepdims=True)
+                nvec /= np.maximum(np.linalg.norm(nvec, axis=-1, keepdims=True), 1e-6)
+                along = np.sum(band_dirs * np.cross(sa, sb), -1)
+                amp = self.wall_detail * np.sin(14.0 * t * band_radius + 11.0 * along)
+                wall = wall + amp[:, None] * nvec
+            wall *= stretch
             pts = np.concatenate([outer, wall]).astype(np.float32)
             labels = np.concatenate([labels, wall_labels])
         else:
@@ -368,10 +400,12 @@ def get_dataset_3d(
     seed: int = 0,
     canonical: float = 0.6,
     voronoi: bool = True,
+    wall_detail: float = 0.0,
+    wall_boost: int = 1,
 ):
     """3D dataset factory (reference dataset_utils.get_dataset_3d :425-462).
     Falls back to SyntheticFractures when the real data is absent;
-    `canonical`/`voronoi` only affect the synthetic generator."""
+    `canonical`/`voronoi`/`wall_*` only affect the synthetic generator."""
     data_dir = data_dir or os.environ.get("BREAKING_BAD_DATA", "datasets/breaking-bad")
     split = Path(data_dir) / "data_split"
     if dataset == "breaking-bad" and (split / "everyday.train.txt").exists():
@@ -387,9 +421,11 @@ def get_dataset_3d(
         train = SyntheticFractures(
             train_n, num_points, min_num_part, min(max_num_part, 8), seed=seed,
             canonical=canonical, voronoi=voronoi,
+            wall_detail=wall_detail, wall_boost=wall_boost,
         )
         test = SyntheticFractures(
             test_n, num_points, min_num_part, min(max_num_part, 8), seed=seed + 1,
             canonical=canonical, voronoi=voronoi,
+            wall_detail=wall_detail, wall_boost=wall_boost,
         )
     return train, test, train.category_names

@@ -85,6 +85,18 @@ class Diffusion3DConfig:
     # pose-pretrained point encoder, the 3D counterpart of the 2D recipe's
     # encoder_init (the no-egress stand-in for ImageNet-pretrained towers)
     encoder_init: str = ""
+    # --- relative-pose pathway (docs/DESIGN.md §8, nn/relpose.py) ---
+    # Single-fragment absolute orientation is information-limited (measured
+    # gd ceiling 1.83 rad); mating fracture surfaces determine RELATIVE poses.
+    # rel_pose_weight adds the pairwise auxiliary losses (relative rotation
+    # Frobenius + offset L2 on contact pairs + contact BCE); rel_condition
+    # feeds the head's neighbour-consensus pose hypotheses to the denoiser at
+    # every step. Both require the [equiv ‖ inv] VN feature layout, so
+    # backbone="vn_dgcnn" is silently upgraded to the both=True encoder.
+    rel_pose_weight: float = 0.0
+    rel_condition: bool = False
+    contact_thresh: float = 0.1
+    rel_k: int = 16
     compute_dtype: str = "float32"
     attention_impl: str = "auto"  # xla | pallas | auto
     remat: bool = False
@@ -99,11 +111,20 @@ class Diffusion3D:
         self.cfg = config
         self.sched = DiffusionSchedule.create(config.steps, config.scheduler)
         backbone = config.backbone
-        if config.equiv_inv_mp:
-            if backbone != "vn_dgcnn":
-                raise ValueError("equiv_inv_mp requires backbone='vn_dgcnn'")
+        self.use_rel = config.rel_pose_weight > 0 or config.rel_condition
+        if config.equiv_inv_mp or self.use_rel:
+            if backbone not in ("vn_dgcnn", "vn_dgcnn_equiv_inv"):
+                raise ValueError(
+                    "equiv_inv_mp / rel_pose pathways require backbone='vn_dgcnn' "
+                    "(the relative-rotation head is built on VN-equivariant features)"
+                )
             backbone = "vn_dgcnn_equiv_inv"  # [equiv(768) ‖ inv(256)] features
         self.encoder, feat_dim = make_point_encoder(backbone, dtype=config.dtype)
+        self.rel_head = None
+        if self.use_rel:
+            from ..nn.relpose import RelPoseHead
+
+            self.rel_head = RelPoseHead(k=config.rel_k)
         self.denoiser = GraphDenoiser3D(
             steps=config.steps,
             input_channels=13 if config.use_6dof else 7,
@@ -116,6 +137,7 @@ class Diffusion3D:
             use_6dof=config.use_6dof,
             equiv_inv_mp=config.equiv_inv_mp,
             equiv_dim=768,
+            rel_channels=13 if config.rel_condition else 0,
             attention_impl=config.attention_impl,
             remat=config.remat,
             dtype=config.dtype,
@@ -139,8 +161,16 @@ class Diffusion3D:
             jnp.zeros((1, p, self.denoiser.feature_dim)),
             jnp.ones((1, p, p), dtype=bool),
             jnp.ones((1, p), dtype=bool),
+            rel_ctx=jnp.zeros((1, p, 13)) if self.cfg.rel_condition else None,
         )
         params = {"encoder": enc_params["params"], "denoiser": den_params["params"]}
+        if self.use_rel:
+            rel_params = self.rel_head.init(
+                jax.random.fold_in(k2, 1),
+                jnp.zeros((1, p, 256, 3)),
+                jnp.zeros((1, p, 256)),
+            )
+            params["relpose"] = rel_params["params"]
         if self.cfg.encoder_init:
             from ..utils.params import load_params, tree_shapes_match
 
@@ -164,10 +194,29 @@ class Diffusion3D:
             feats = jax.lax.stop_gradient(feats)
         return feats.reshape(b, p, -1)
 
-    def denoise(self, params, x_t, t, feats, adj, node_mask):
+    def denoise(self, params, x_t, t, feats, adj, node_mask, rel_ctx=None):
         return self.denoiser.apply(
-            {"params": params["denoiser"]}, x_t, t, feats, adj, node_mask
+            {"params": params["denoiser"]}, x_t, t, feats, adj, node_mask,
+            rel_ctx=rel_ctx,
         ).astype(jnp.float32)
+
+    # ------------------------------------------------- relative-pose pathway
+
+    def rel_outputs(self, params, feats):
+        """(rot_raw, offset, conf) from the pairwise head (nn/relpose.py)."""
+        from ..nn.relpose import split_equiv_inv
+
+        g, inv = split_equiv_inv(feats.astype(jnp.float32))
+        return self.rel_head.apply({"params": params["relpose"]}, g, inv)
+
+    def _rel_ctx(self, rel, x, node_mask):
+        """Consensus vector from the current pose estimate x (B,P,≥7)."""
+        from ..nn.relpose import rel_consensus
+
+        rot_raw, offset, conf = rel
+        return rel_consensus(
+            rot_raw, offset, conf, x[..., :4], x[..., 4:7], node_mask
+        )
 
     # --------------------------------------------------------- forward chain
 
@@ -215,7 +264,13 @@ class Diffusion3D:
             )
 
         feats = self.pcd_features(params, batch.pcds)
-        pred = self.denoise(params, x_noisy, t, feats, batch.adj, batch.node_mask)
+        rel = rel_ctx = None
+        if self.use_rel:
+            rel = self.rel_outputs(params, feats)
+            if cfg.rel_condition:
+                rel_ctx = self._rel_ctx(rel, x_noisy, batch.node_mask)
+        pred = self.denoise(params, x_noisy, t, feats, batch.adj, batch.node_mask,
+                            rel_ctx=rel_ctx)
         pred_q, pred_t = pred[..., :4], pred[..., 4:7]
         if cfg.use_6dof:
             pred_q = so3.matrix_to_quaternion(so3.sixdof_to_matrix(pred[..., 7:13]))
@@ -244,8 +299,12 @@ class Diffusion3D:
                 x_id = jnp.concatenate(
                     [x_id, jnp.broadcast_to(jnp.array([1.0, 0, 0, 0, 1.0, 0]), (*gt_q.shape[:-1], 6))],
                     axis=-1)
+            rel_ctx0 = (
+                self._rel_ctx(rel, x_id, batch.node_mask)
+                if cfg.rel_condition else None
+            )
             pred0 = self.denoise(params, x_id, jnp.zeros_like(t), feats,
-                                 batch.adj, batch.node_mask)
+                                 batch.adj, batch.node_mask, rel_ctx=rel_ctx0)
             p0_q, p0_t = pred0[..., :4], pred0[..., 4:7]
             if cfg.use_6dof:
                 p0_q = so3.matrix_to_quaternion(so3.sixdof_to_matrix(pred0[..., 7:13]))
@@ -256,6 +315,15 @@ class Diffusion3D:
             )
             loss_dict["aux_pose_loss"] = aux
             total = total + cfg.aux_pose_weight * aux
+        if self.use_rel and cfg.rel_pose_weight > 0:
+            contact = losses_3d.contact_matrix(
+                batch.pcds, gt_q, gt_t, batch.node_mask, thresh=cfg.contact_thresh
+            )
+            rel_losses = losses_3d.relative_pose_loss(
+                *rel, gt_q, gt_t, contact, batch.node_mask
+            )
+            loss_dict.update(rel_losses)
+            total = total + cfg.rel_pose_weight * sum(rel_losses.values())
         loss_dict = {k: v for k, v in loss_dict.items()}
         loss_dict["loss"] = total
         return total, loss_dict
@@ -326,12 +394,20 @@ class Diffusion3D:
             )
 
         feats = self.pcd_features(params, batch.pcds)
+        # pairwise head runs ONCE outside the scan (it reads only features);
+        # per-step the consensus is a handful of (P, P) einsums on the carry
+        rel = self.rel_outputs(params, feats) if self.use_rel else None
         ts = jnp.asarray(self.sched.timesteps(cfg.inference_ratio))
 
         def body(carry, t_scalar):
             xc = carry
             t = jnp.full((b, p), t_scalar, dtype=jnp.int32)
-            out = self.denoise(params, xc, t, feats, batch.adj, batch.node_mask)
+            rel_ctx = (
+                self._rel_ctx(rel, xc, batch.node_mask)
+                if cfg.rel_condition else None
+            )
+            out = self.denoise(params, xc, t, feats, batch.adj, batch.node_mask,
+                               rel_ctx=rel_ctx)
             x_next = self.ddim_step_se3(xc, t, out, cfg.inference_ratio)
             return x_next, (x_next if keep_trajectory else None)
 

@@ -149,3 +149,61 @@ def part_accuracy(pts, t1, t2, q1, q2, valids):
     d1, d2 = chamfer_distance(p1, p2)
     cd = jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)  # (B, P)
     return _valid_mean((cd < 0.01).astype(jnp.float32), valids)
+
+
+# ------------------------------------------------- relative-pose supervision
+# (docs/DESIGN.md §8 / nn/relpose.py — no direct reference analog: the
+# reference gets relative-pose signal implicitly from Breaking-Bad's exact
+# mating fracture surfaces; here it is made an explicit auxiliary task.)
+
+
+def contact_matrix(pcds, gt_q, gt_t, valids, thresh=0.1, n_sub=64):
+    """(B, P, P) bool — parts whose gt-posed clouds come within `thresh`.
+
+    Reassembly uses the conjugate rotation: the dataset rotates inputs as
+    pcds = Mᵀ-multiplied rows (breaking_bad.py:203, cloud @ M.T), so the
+    canonical cloud is Mᵀ·pcds + t. Distances use an `n_sub`-point subsample
+    (input point order is already random) to bound the (P², n²) matrix.
+    """
+    q_conj = gt_q * jnp.array([1.0, -1.0, -1.0, -1.0])
+    canon = transform_pc(gt_t, q_conj, pcds[:, :, :n_sub])  # (B, P, n, 3)
+    sq = jnp.sum(canon * canon, axis=-1)  # (B, P, n)
+    cross = jnp.einsum("bpnc,bqmc->bpqnm", canon, canon)
+    d2 = sq[:, :, None, :, None] + sq[:, None, :, None, :] - 2.0 * cross
+    d2min = jnp.min(d2, axis=(-2, -1))  # (B, P, P)
+    p = pcds.shape[1]
+    eye = jnp.eye(p, dtype=bool)
+    pair_valid = valids[:, :, None].astype(bool) & valids[:, None, :].astype(bool)
+    return (d2min < thresh * thresh) & pair_valid & ~eye
+
+
+def relative_pose_targets(gt_q, gt_t):
+    """R_ij = M_i M_jᵀ (B,P,P,3,3) and o_ij = M_i (t_j − t_i) (B,P,P,3)."""
+    m = quaternion_to_matrix(gt_q)
+    r_ij = jnp.einsum("bpvc,bqwc->bpqvw", m, m)  # M_i M_jᵀ
+    d = gt_t[:, None, :, :] - gt_t[:, :, None, :]  # [b, i, j] = t_j − t_i
+    o_ij = jnp.einsum("bpvc,bpqc->bpqv", m, d)
+    return r_ij, o_ij
+
+
+def relative_pose_loss(rot_raw, offset, conf, gt_q, gt_t, contact, valids):
+    """Frobenius rotation + offset L2 on contact pairs, BCE on contact itself.
+
+    The rotation term supervises the RAW bilinear output (relpose.py): the
+    Frobenius-nearest target of an equivariant-type-correct map is the true
+    relative rotation, and skipping the SO(3) projection keeps gradients
+    finite everywhere (SVD grads blow up at degenerate singular values).
+    """
+    r_gt, o_gt = relative_pose_targets(gt_q, gt_t)
+    c = contact.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(c), 1.0)
+    rot_l = jnp.sum(c * jnp.mean((rot_raw - r_gt) ** 2, axis=(-2, -1))) / denom
+    off_l = jnp.sum(c * jnp.sum((offset - o_gt) ** 2, axis=-1)) / denom
+    p = conf.shape[-1]
+    eye = jnp.eye(p, dtype=bool)
+    pv = (valids[:, :, None].astype(bool) & valids[:, None, :].astype(bool) & ~eye)
+    pvf = pv.astype(jnp.float32)
+    # BCE with logits, masked to valid i≠j pairs
+    bce = jnp.maximum(conf, 0.0) - conf * c + jnp.log1p(jnp.exp(-jnp.abs(conf)))
+    conf_l = jnp.sum(pvf * bce) / jnp.maximum(jnp.sum(pvf), 1.0)
+    return {"rel_rot_loss": rot_l, "rel_off_loss": off_l, "rel_conf_loss": conf_l}

@@ -206,16 +206,26 @@ class GraphDenoiser3D(nn.Module):
     # invariant slice. Requires architecture="transformer".
     equiv_inv_mp: bool = False
     equiv_dim: int = 768
+    # width of the per-node relative-pose consensus vector appended to x_t
+    # (nn/relpose.py rel_consensus: 9 rot + 3 trans + 1 conf). 0 = off; params
+    # are unchanged when off, so existing checkpoints load bit-identically.
+    rel_channels: int = 0
     attention_impl: str = "auto"
     remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_t, t, feats, adj, node_mask, return_attentions=False):
+    def __call__(self, x_t, t, feats, adj, node_mask, rel_ctx=None,
+                 return_attentions=False):
         combined_dim = self.feature_dim + 32 + 32
         time_feats = nn.Embed(self.steps, 32, dtype=self.dtype, name="time_emb")(t)
+        if self.rel_channels:
+            x_t = jnp.concatenate([x_t, rel_ctx.astype(x_t.dtype)], axis=-1)
+        # widen the pose MLP when the consensus vector rides along (13 extra
+        # channels through a 16-wide bottleneck would starve it)
+        pose_hidden = 48 if self.rel_channels else 16
         pos_feats = nn.Sequential(
-            [nn.Dense(16, dtype=self.dtype), nn.gelu, nn.Dense(32, dtype=self.dtype)]
+            [nn.Dense(pose_hidden, dtype=self.dtype), nn.gelu, nn.Dense(32, dtype=self.dtype)]
         )(x_t)
         # 3D fusion MLP uses LeakyReLU(0.2) and 256 hidden (efficient_gat_3d.py:136-141)
         fusion = FusionMLP(256, combined_dim, dtype=self.dtype, activation="leaky_relu", name="fusion")

@@ -1,0 +1,152 @@
+"""Relative-pose pathway tests (nn/relpose.py, losses_3d relative suite,
+Diffusion3D rel_* integration — docs/DESIGN.md §8).
+
+The pathway's correctness rests on equivariance TYPES, so the tests check the
+types directly: the pairwise rotation output must transform as M_i X M_jᵀ, the
+offset as M_i·, confidence must be invariant, and the supervised targets must
+be fixed points of those transforms.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffassemble_tpu.data.batch import FragmentBatch
+from diffassemble_tpu.data.breaking_bad import SyntheticFractures, collate_fragments
+from diffassemble_tpu.models import losses_3d
+from diffassemble_tpu.models.diffusion_3d import Diffusion3D, Diffusion3DConfig
+from diffassemble_tpu.nn.relpose import RelPoseHead, rel_consensus, split_equiv_inv
+from diffassemble_tpu.ops import so3
+
+
+def _head_and_inputs(key, b=2, p=5, c=32, ci=16):
+    head = RelPoseHead(k=8, hidden=32)
+    g = jax.random.normal(key, (b, p, c, 3))
+    inv = jax.random.normal(jax.random.fold_in(key, 1), (b, p, ci))
+    params = head.init(key, g, inv)["params"]
+    return head, params, g, inv
+
+
+def test_relpose_head_equivariance_types():
+    key = jax.random.PRNGKey(0)
+    head, params, g, inv = _head_and_inputs(key)
+    rot, off, conf = head.apply({"params": params}, g, inv)
+
+    m = so3.quaternion_to_matrix(so3.random_quaternion(jax.random.fold_in(key, 2), g.shape[:2]))
+    g_rot = jnp.einsum("bpwv,bpcv->bpcw", m, g)
+    rot2, off2, conf2 = head.apply({"params": params}, g_rot, inv)
+
+    rot_exp = jnp.einsum("bpvw,bpqwx,bqyx->bpqvy", m, rot, m)  # M_i R M_jᵀ
+    off_exp = jnp.einsum("bpvw,bpqw->bpqv", m, off)            # M_i o
+    assert jnp.abs(rot2 - rot_exp).max() < 1e-4
+    assert jnp.abs(off2 - off_exp).max() < 1e-4
+    assert jnp.abs(conf2 - conf).max() < 1e-6
+
+
+def test_relative_targets_are_type_fixed_points():
+    key = jax.random.PRNGKey(3)
+    q = so3.random_quaternion(key, (2, 4))
+    t = jax.random.normal(jax.random.fold_in(key, 1), (2, 4, 3))
+    r_ij, o_ij = losses_3d.relative_pose_targets(q, t)
+    m = so3.quaternion_to_matrix(q)
+    # diagonal: R_ii = I, o_ii = 0
+    diag = jnp.einsum("bppvw->bpvw", r_ij)
+    assert jnp.abs(diag - jnp.eye(3)).max() < 1e-5
+    assert jnp.abs(jnp.einsum("bppv->bpv", o_ij)).max() < 1e-5
+    # antisymmetry: R_ji = R_ijᵀ and o_ji = −R_ji o_ij
+    r_t = jnp.swapaxes(jnp.swapaxes(r_ij, 1, 2), -1, -2)
+    assert jnp.abs(r_t - r_ij).max() < 1e-5
+    # o_ij = −R_ij o_ji
+    o_back = -jnp.einsum("bpqvw,bpqw->bpqv", r_ij, jnp.swapaxes(o_ij, 1, 2))
+    assert jnp.abs(o_back - o_ij).max() < 1e-4
+
+
+def test_contact_matrix_voronoi_fragments():
+    ds = SyntheticFractures(n=2, num_points=256, min_num_part=3, max_num_part=4, seed=11)
+    nb = collate_fragments([ds[0], ds[1]], max_num_part=4)
+    batch = FragmentBatch(*[jnp.asarray(a) for a in nb])
+    contact = losses_3d.contact_matrix(
+        batch.pcds, batch.x0[..., :4], batch.x0[..., 4:7], batch.node_mask,
+        thresh=0.12, n_sub=128,
+    )
+    c = np.asarray(contact)
+    # symmetric, zero diagonal, respects validity
+    assert (c == c.transpose(0, 2, 1)).all()
+    assert not c[:, np.arange(4), np.arange(4)].any()
+    valid = np.asarray(batch.node_mask)
+    assert not c[~(valid[:, :, None] & valid[:, None, :])].any()
+    # the object is connected: every valid part touches at least one other,
+    # but contact is NOT trivially all-pairs (it carries real signal)
+    for b in range(2):
+        p = valid[b].sum()
+        assert c[b, :p].any(axis=-1).all(), "isolated part"
+        assert 0 < c[b, :p, :p].sum() <= p * (p - 1)
+
+
+def test_wall_corrugation_preserves_mating():
+    ds = SyntheticFractures(n=2, num_points=512, min_num_part=3, max_num_part=3,
+                            seed=11, wall_detail=0.06, wall_boost=3)
+    s = ds[1]
+    q, t = s["x0"][:, :4], s["x0"][:, 4:7]
+    m = np.asarray(so3.quaternion_to_matrix(jnp.asarray(q)))
+    canon = np.einsum("pji,pnj->pni", m, s["pcds"]) + t[:, None, :]
+    p = s["n_parts"]
+    for i in range(p):
+        for j in range(i + 1, p):
+            d = np.sqrt(((canon[i][:, None] - canon[j][None]) ** 2).sum(-1)).min()
+            assert d < 0.08, f"corrugated walls no longer mate: pair ({i},{j}) min {d}"
+
+
+@pytest.mark.slow
+def test_diffusion3d_rel_pathway_end_to_end():
+    cfg = Diffusion3DConfig(
+        steps=10, inference_ratio=5, n_layers=2, hidden_dim=32, heads=2,
+        rel_pose_weight=0.5, rel_condition=True, max_num_part=4,
+    )
+    model = Diffusion3D(cfg)
+    ds = SyntheticFractures(n=4, num_points=64, min_num_part=2, max_num_part=4, seed=3)
+    nb = collate_fragments([ds[0], ds[1]], max_num_part=4)
+    batch = FragmentBatch(*[jnp.asarray(a) for a in nb])
+    params = model.init(jax.random.PRNGKey(0), batch)
+    assert "relpose" in params
+
+    (total, ld), grads = jax.value_and_grad(model.loss, has_aux=True)(
+        params, batch, jax.random.PRNGKey(1)
+    )
+    assert jnp.isfinite(total)
+    for k in ("rel_rot_loss", "rel_off_loss", "rel_conf_loss"):
+        assert k in ld and jnp.isfinite(ld[k])
+    for sub in ("encoder", "denoiser", "relpose"):
+        gn = sum(float(jnp.sum(x ** 2)) for x in jax.tree.leaves(grads[sub]))
+        assert gn > 0, f"no gradient reached {sub}"
+
+    final, _ = model.sample(params, batch, jax.random.PRNGKey(2))
+    assert final.shape == batch.x0.shape
+    assert bool(jnp.isfinite(final).all())
+
+
+def test_rel_disabled_keeps_param_tree():
+    cfg = Diffusion3DConfig(steps=10, n_layers=2, hidden_dim=32, heads=2,
+                            backbone="pointnet", max_num_part=4)
+    model = Diffusion3D(cfg)
+    ds = SyntheticFractures(n=2, num_points=64, min_num_part=2, max_num_part=4, seed=3)
+    nb = collate_fragments([ds[0]], max_num_part=4)
+    batch = FragmentBatch(*[jnp.asarray(a) for a in nb])
+    params = model.init(jax.random.PRNGKey(0), batch)
+    assert set(params) == {"encoder", "denoiser"}
+
+
+def test_rel_consensus_identity_fixed_point():
+    """With perfect rel outputs and gt poses, consensus reproduces gt."""
+    key = jax.random.PRNGKey(7)
+    b, p = 2, 4
+    q = so3.random_quaternion(key, (b, p))
+    t = jax.random.normal(jax.random.fold_in(key, 1), (b, p, 3))
+    r_ij, o_ij = losses_3d.relative_pose_targets(q, t)
+    conf = jnp.full((b, p, p), 8.0)  # high confidence everywhere
+    mask = jnp.ones((b, p), dtype=bool)
+    ctx = rel_consensus(r_ij, o_ij, conf, q, t, mask)
+    m = so3.quaternion_to_matrix(q)
+    assert jnp.abs(ctx[..., :9].reshape(b, p, 3, 3) - m).max() < 1e-4
+    assert jnp.abs(ctx[..., 9:12] - t).max() < 1e-4
