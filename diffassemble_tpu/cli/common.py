@@ -50,7 +50,8 @@ def add_2d_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument(
         "-dataset",
         default="wikiart",
-        choices=["celeba", "wikiart", "cifar100", "imagenet", "synthetic"],
+        choices=["celeba", "wikiart", "cifar100", "imagenet", "synthetic",
+                 "synthetic_art"],
     )
     ap.add_argument("-sampling", default="DDIM", choices=["DDPM", "DDIM"])
     ap.add_argument("-inference_ratio", type=int, default=10)

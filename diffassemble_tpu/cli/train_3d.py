@@ -75,6 +75,11 @@ def add_3d_args(ap: argparse.ArgumentParser) -> None:
                     help="corrugation amplitude of synthetic fracture walls")
     ap.add_argument("--wall_boost", type=int, default=1,
                     help="wall point-density multiplier in SyntheticFractures")
+    ap.add_argument("--num_points", type=int, default=1000,
+                    help="points sampled per part (reference --num_points)")
+    ap.add_argument("--deadline_margin", type=float, default=None,
+                    help="wind down this many seconds before the build "
+                         "driver's round cutoff (utils/deadline.py)")
 
 
 def build_3d(args):
@@ -108,6 +113,7 @@ def build_3d(args):
         args.dataset if args.dataset != "synthetic" else "synthetic",
         data_dir=args.data_dir,
         category=args.category,
+        num_points=args.num_points,
         min_num_part=args.min_num_part,
         max_num_part=args.max_num_part,
         train_n=args.train_n,
@@ -146,6 +152,7 @@ def run_3d(args, missing: int = 0) -> None:
         adapter=fragment_adapter(
             args.max_num_part, cats, missing_perc=args.missing, seed=args.seed
         ),
+        deadline_margin=args.deadline_margin,
     )
     if args.evaluate:
         from ..train.train_state import create_train_state

