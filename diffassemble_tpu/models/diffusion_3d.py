@@ -49,7 +49,10 @@ class Diffusion3DConfig:
     """Mirrors the reference constructor + train_3d.py defaults (:160-189)."""
 
     steps: int = 300
-    sampling: Literal["ddpm", "ddim"] = "ddim"
+    # DDIM only: the reference's 3D model wires its sampler straight to
+    # p_sample_ddim regardless of the flag (…double_diffusion.py:279), so a
+    # "ddpm" value there is dead; here it is an explicit error instead.
+    sampling: Literal["ddim"] = "ddim"
     inference_ratio: int = 10
     mean_type: Literal["epsilon", "xstart"] = "xstart"  # predict_xstart=True default
     scheduler: str = "linear"
@@ -108,6 +111,11 @@ class Diffusion3DConfig:
 
 class Diffusion3D:
     def __init__(self, config: Diffusion3DConfig):
+        if config.sampling != "ddim":
+            raise ValueError(
+                "Diffusion3D is DDIM-only, matching the reference's actual "
+                "wiring (spatial_diffusion_3d_test_double_diffusion.py:279)"
+            )
         self.cfg = config
         self.sched = DiffusionSchedule.create(config.steps, config.scheduler)
         backbone = config.backbone
