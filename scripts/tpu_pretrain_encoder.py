@@ -71,11 +71,14 @@ def main():
     ap.add_argument("--hf_detail", type=float, default=0.0)
     ap.add_argument("--degree", default="-1",
                     help="only used to locate a cached corpus npz")
+    ap.add_argument("--style", default="default", choices=["default", "art"],
+                    help="generator style (datasets.py); art = WikiArt-hardness")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     hw = (args.hw, args.hw)
-    out = args.out or f"weights/{args.backbone}_pose{args.hw}.npz"
+    tagged = args.hw if args.style == "default" else f"{args.hw}{args.style}"
+    out = args.out or f"weights/{args.backbone}_pose{tagged}.npz"
     _pl.Path(out).parent.mkdir(parents=True, exist_ok=True)
 
     def corpus(tag, n, img_seed):
@@ -85,13 +88,14 @@ def main():
 
         ctag = "" if args.canonical == 0.5 else f"-c{args.canonical}"
         htag = "" if args.hf_detail == 0.0 else f"-hf{args.hf_detail}"
+        htag += "" if args.style == "default" else f"-{args.style}"
         deg = str(args.degree).replace("%", "pct")
         f = _pl.Path(f"runs/_corpus/{tag}-hw{args.hw}-n{n}-s{img_seed}-d{deg}-g2{ctag}{htag}.npz")
         if f.exists():
             z = np.load(f)
             return DevicePuzzleData(*(jnp.asarray(z[k]) for k in ("patches", "grid", "adj", "hw")))
         imgs = SyntheticImages((hw[0] * 32, hw[1] * 32), n=n, seed=img_seed, cache=False,
-                               canonical=args.canonical, hf_detail=args.hf_detail)
+                               canonical=args.canonical, hf_detail=args.hf_detail, style=args.style)
         return build_device_data(imgs, hw, n, degree=-1, seed=args.seed)
 
     data = corpus("train", args.train_n, args.seed)

@@ -82,3 +82,22 @@ def test_jit_compiles():
     grid = jnp.asarray(np.random.default_rng(4).normal(size=(16, 2)), dtype=jnp.float32)
     out = f(grid, grid)
     np.testing.assert_array_equal(np.asarray(out), np.arange(16))
+
+
+def test_blocked_greedy_is_block_size_invariant():
+    """The parallel-conservative top-K rounds must yield the exact sequential
+    greedy result for ANY block size (assignment.py docstring proof)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffassemble_tpu.ops.assignment import greedy_assignment
+
+    rng = np.random.default_rng(0)
+    for n in (7, 24):
+        pos = jnp.asarray(rng.normal(size=(n, 2)).astype(np.float32))
+        anchors = jnp.asarray(rng.normal(size=(n, 2)).astype(np.float32))
+        valid = jnp.asarray(rng.random(n) > 0.2)
+        outs = [np.asarray(greedy_assignment(pos, anchors, valid, block=b))
+                for b in (1, 3, 16, n * n)]
+        for o in outs[1:]:
+            np.testing.assert_array_equal(o, outs[0])
