@@ -254,3 +254,20 @@ def test_encoder_init_roundtrip(tmp_path):
     cfg3 = Diffusion2DConfig(steps=10, backbone="convnet", encoder_init=str(path))
     with pytest.raises(ValueError):
         Diffusion2D(cfg3).init(jax.random.PRNGKey(0), nb)
+
+
+def test_trainer_deadline_guard_stops_and_checkpoints(tmp_path):
+    """deadline_margin in the past must stop fit() at the first check (step
+    50) and leave a checkpoint behind (utils/deadline.py contract)."""
+    from diffassemble_tpu.train.trainer import Trainer
+
+    model = _tiny()
+    train_ds, test_ds, _ = get_dataset("synthetic", puzzle_sizes=[2], train_n=4, test_n=2)
+    trainer = Trainer(
+        model, run_dir=str(tmp_path / "run"), max_steps=500, batch_size=2,
+        eval_every=10_000, checkpoint_every=10_000, sanity_eval_batches=0,
+        log_quiet=True, deadline_margin=1e12,  # cutoff is always in the past
+    )
+    state = trainer.fit(train_ds)
+    assert int(state.step) == 50
+    assert trainer.ckpt.latest_step() == 50
