@@ -41,7 +41,7 @@ P = 4
 N_PTS = 128
 N_TRAIN, N_TEST = 96, 16
 BATCH = 8
-STEPS = 500
+STEPS = int(__import__('os').environ.get('PROBE_STEPS', '500'))
 
 
 class Probe(nn.Module):
@@ -97,7 +97,7 @@ def main():
     nb = collate_fragments([train_ds[0], train_ds[1]], max_num_part=P)
     first = FragmentBatch(*[jnp.asarray(a) for a in nb])
     params = model.init(jax.random.PRNGKey(0), first.pcds)["params"]
-    opt = optax.adam(3e-4)
+    opt = optax.adam(float(__import__('os').environ.get('PROBE_LR', '3e-4')))
     opt_state = opt.init(params)
 
     def loss_fn(params, b):
