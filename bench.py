@@ -69,10 +69,35 @@ def _supervise() -> int:
         sys.stderr.write(proc.stderr)
         blob = proc.stdout + proc.stderr
         transient = any(p in blob for p in _RETRY_PATTERNS)
-        if not transient or time.time() + 60 > deadline:
+        if not transient:
             sys.stderr.write(
                 f"[bench] attempt {attempt} failed rc={proc.returncode} "
-                f"(transient={transient}); giving up\n")
+                f"(non-transient); giving up\n")
+            return proc.returncode or 1
+        if time.time() + 60 > deadline:
+            # TPU relay down past the retry budget (a multi-hour outage was
+            # observed mid-round-4): an honest CPU artifact — checkpoint
+            # accuracy + a latency clearly labeled device=cpu-fallback — is
+            # strictly more useful than an rc=1 stack trace (BENCH_r03).
+            sys.stderr.write(
+                f"[bench] attempt {attempt}: retry budget exhausted; "
+                f"falling back to CPU (accuracy still real; latency is not "
+                f"a TPU number)\n")
+            cpu_env = dict(
+                env, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+                BENCH_BATCH="1", BENCH_BATCH_TP="1", BENCH_EVAL_N="8",
+                BENCH_DEVICE_TAG="cpu-fallback",
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=cpu_env, capture_output=True, text=True, timeout=3000,
+            )
+            lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+            if proc.returncode == 0 and lines:
+                print(lines[-1])
+                return 0
+            sys.stderr.write(proc.stdout)
+            sys.stderr.write(proc.stderr)
             return proc.returncode or 1
         sys.stderr.write(
             f"[bench] attempt {attempt}: TPU backend unavailable (claim "
@@ -102,7 +127,8 @@ def main() -> None:
     HW = (30, 30)
     BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # latency-optimal point
     TP_BATCH = int(os.environ.get("BENCH_BATCH_TP", "32"))  # throughput point
-    NSAMP = max(BATCH, TP_BATCH)
+    EVAL_N = int(os.environ.get("BENCH_EVAL_N", str(max(BATCH, TP_BATCH))))
+    NSAMP = max(BATCH, TP_BATCH, EVAL_N)
     N = HW[0] * HW[1]
 
     cfg = Diffusion2DConfig(
@@ -183,7 +209,7 @@ def main() -> None:
         restored = ckpt.restore(state)
         if restored is not None:
             params = restored.params
-            m = jax.jit(model.evaluate)(params, make_batch(NSAMP), jax.random.PRNGKey(2))
+            m = jax.jit(model.evaluate)(params, make_batch(EVAL_N), jax.random.PRNGKey(2))
             acc = float(np.asarray(m["piece_acc"]).mean())
         else:
             trained = False
@@ -249,6 +275,9 @@ def main() -> None:
     rec["trained_checkpoint"] = bool(trained)
     if acc is not None:
         rec["piece_acc"] = round(acc, 4)
+    rec["device"] = os.environ.get(
+        "BENCH_DEVICE_TAG", (jax.devices()[0].device_kind or jax.default_backend())
+    )
     print(json.dumps(rec))
 
 
