@@ -32,11 +32,13 @@ from diffassemble_tpu.models.diffusion_2d import Diffusion2D, Diffusion2DConfig
 from diffassemble_tpu.train.checkpoint import CheckpointManager
 from diffassemble_tpu.train.train_state import create_train_state
 
-RUN = "runs/quality-multisize"
-SIZES = [6, 8, 10, 12]
-STEPS = [4000, 8000]
-BATCHES = [8, 32]
-N_EVAL = 32
+import os as _os
+
+RUN = _os.environ.get("DIAG_RUN", "runs/quality-multisize")
+SIZES = [int(x) for x in _os.environ.get("DIAG_SIZES", "6,8,10,12").split(",")]
+STEPS = [int(x) for x in _os.environ.get("DIAG_STEPS", "4000,8000").split(",")]
+BATCHES = [int(x) for x in _os.environ.get("DIAG_BATCHES", "8,32").split(",")]
+N_EVAL = int(_os.environ.get("DIAG_N_EVAL", "32"))
 
 
 def main():
@@ -56,18 +58,16 @@ def main():
         )
         tests[s] = [test_ds[i] for i in range(N_EVAL)]
     # mixed-size calibration pool (the training batch composition analog)
-    calib_batches = [
-        np.concatenate([
-            (np.stack([x["patches"] for x in tests[s][k * 4:(k + 1) * 4]])
-             .reshape(-1, 32, 32, 3).astype(np.float32) / 255.0
-             if tests[s][0]["patches"].dtype == np.uint8 else
-             np.stack([x["patches"] for x in tests[s][k * 4:(k + 1) * 4]])
-             .reshape(-1, 32, 32, 3).astype(np.float32))
-            for s in SIZES
-        ]) for k in range(2)
-    ]
+    pool = np.concatenate([
+        np.concatenate([np.asarray(x["patches"], dtype=np.float32)
+                        for x in tests[s][: min(8, N_EVAL)]])
+        for s in SIZES
+    ])
+    if pool.max() > 1.5:  # uint8-scaled patches
+        pool = pool / 255.0
+    calib_batches = np.array_split(pool, 2)
 
-    first = collate_puzzles([tests[6][0]], 36)
+    first = collate_puzzles([tests[SIZES[0]][0]], SIZES[0] * SIZES[0])
     params0 = model.init(jax.random.PRNGKey(0), PuzzleBatch(*[jnp.asarray(a) for a in first]))
     state_t = create_train_state(params0, model.make_optimizer(), jax.random.PRNGKey(0))
 
