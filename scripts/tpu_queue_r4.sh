@@ -45,7 +45,7 @@ run 3d-relpose.log 20 python -m diffassemble_tpu.cli.train_3d \
   --rel_pose_weight 0.5 --rel_condition 1 --contact_thresh 0.1 \
   --aux_pose_weight 0.5 --rot_pt_l2_weight 1.0 \
   --wall_detail 0.06 --wall_boost 2 --synthetic_canonical 0.6 \
-  --train_n 512 --test_n 64 --deadline_margin 3600
+  --train_n 1536 --test_n 64 --deadline_margin 3600
 
 run discrete-rot-full.log 6 python scripts/tpu_train_variants.py \
   --variants discrete_rot --hw 6 --run_suffix b \
