@@ -39,7 +39,8 @@ from diffassemble_tpu.ops import so3
 
 P = 4
 N_PTS = 128
-N_TRAIN, N_TEST = 96, 16
+N_TRAIN = int(__import__('os').environ.get('PROBE_TRAIN_N', '96'))
+N_TEST = 16
 BATCH = 8
 STEPS = int(__import__('os').environ.get('PROBE_STEPS', '500'))
 
