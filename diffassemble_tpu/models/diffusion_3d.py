@@ -121,13 +121,18 @@ class Diffusion3D:
         backbone = config.backbone
         self.use_rel = config.rel_pose_weight > 0 or config.rel_condition
         if config.equiv_inv_mp or self.use_rel:
-            if backbone not in ("vn_dgcnn", "vn_dgcnn_equiv_inv"):
+            if backbone not in ("vn_dgcnn", "vn_dgcnn_equiv_inv", "vn_dgcnn_rich"):
                 raise ValueError(
                     "equiv_inv_mp / rel_pose pathways require backbone='vn_dgcnn' "
-                    "(the relative-rotation head is built on VN-equivariant features)"
+                    "or 'vn_dgcnn_rich' (the relative-rotation head is built on "
+                    "VN-equivariant features)"
                 )
-            backbone = "vn_dgcnn_equiv_inv"  # [equiv(768) ‖ inv(256)] features
+            if backbone == "vn_dgcnn":
+                backbone = "vn_dgcnn_equiv_inv"  # [equiv(768) ‖ inv(256)]
+        # [equiv ‖ inv] split point of the both=True layouts (vn.py)
+        self.equiv_dim = 1536 if backbone == "vn_dgcnn_rich" else 768
         self.encoder, feat_dim = make_point_encoder(backbone, dtype=config.dtype)
+        self.feat_dim = feat_dim
         self.rel_head = None
         if self.use_rel:
             from ..nn.relpose import RelPoseHead
@@ -144,7 +149,7 @@ class Diffusion3D:
             heads=config.heads,
             use_6dof=config.use_6dof,
             equiv_inv_mp=config.equiv_inv_mp,
-            equiv_dim=768,
+            equiv_dim=self.equiv_dim,
             rel_channels=13 if config.rel_condition else 0,
             attention_impl=config.attention_impl,
             remat=config.remat,
@@ -175,8 +180,8 @@ class Diffusion3D:
         if self.use_rel:
             rel_params = self.rel_head.init(
                 jax.random.fold_in(k2, 1),
-                jnp.zeros((1, p, 256, 3)),
-                jnp.zeros((1, p, 256)),
+                jnp.zeros((1, p, self.equiv_dim // 3, 3)),
+                jnp.zeros((1, p, self.feat_dim - self.equiv_dim)),
             )
             params["relpose"] = rel_params["params"]
         if self.cfg.encoder_init:
@@ -214,7 +219,7 @@ class Diffusion3D:
         """(rot_raw, offset, conf) from the pairwise head (nn/relpose.py)."""
         from ..nn.relpose import split_equiv_inv
 
-        g, inv = split_equiv_inv(feats.astype(jnp.float32))
+        g, inv = split_equiv_inv(feats.astype(jnp.float32), self.equiv_dim)
         return self.rel_head.apply({"params": params["relpose"]}, g, inv)
 
     def _rel_ctx(self, rel, x, node_mask):

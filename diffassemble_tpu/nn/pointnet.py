@@ -142,6 +142,12 @@ def make_point_encoder(name: str, dtype: Dtype = jnp.float32):
         "vn_dgcnn_inv": (lambda: VN_DGCNN(feat_dim=128, invariant=True, dtype=dtype), 256),
         # [equiv(768) ‖ inv(256)] layout for equiv/inv split message passing
         "vn_dgcnn_equiv_inv": (lambda: VN_DGCNN(feat_dim=128, both=True, dtype=dtype), 1024),
+        # [equiv(1536) ‖ inv(512)]: mean ‖ max-norm pooling (vn.py pool=
+        # "mean_maxnorm") — richer pairwise signal for the rel-pose pathway
+        "vn_dgcnn_rich": (
+            lambda: VN_DGCNN(feat_dim=128, both=True, pool="mean_maxnorm", dtype=dtype),
+            2048,
+        ),
         "vnn": (lambda: VNPointNetEncoder(output_dim=2104, dtype=dtype), 2104),
     }
     if name not in table:

@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.knn import knn_indices
@@ -173,6 +174,15 @@ class VN_DGCNN(nn.Module):
     n_knn: int = 20
     invariant: bool = False
     both: bool = False
+    # "mean" = reference parity (global mean pool). "mean_maxnorm" adds a
+    # channel-equivariant max pool: per channel, select the point whose
+    # vector has the largest norm (the selection is rotation-INVARIANT, so
+    # the selected vectors stay equivariant) and concatenate. Motivation:
+    # round-4 oracle test showed the relative-pose head generalizes at
+    # gd 0.077 rad on aligned features while mean-pooled VN features cap it
+    # at 1.90 — the mean washes out localized fracture-wall signal
+    # (results/RESULTS.md round 4).
+    pool: str = "mean"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -201,7 +211,20 @@ class VN_DGCNN(nn.Module):
         )(x123)  # (B, N, feat, 3)
         h_mean = jnp.broadcast_to(h.mean(axis=1, keepdims=True), h.shape)
         h = jnp.concatenate([h, h_mean], axis=-2)  # (B, N, 2·feat, 3)
-        h = h.mean(axis=1)  # global mean pool over points → (B, 2·feat, 3)
+        pooled = h.mean(axis=1)  # global mean pool over points → (B, 2·feat, 3)
+        if self.pool == "mean_maxnorm":
+            # soft max-norm pool: softmax over points of standardized ‖h‖²
+            # per channel. The weights are rotation-INVARIANT (norms), so the
+            # pooled vectors stay exactly equivariant — and unlike a hard
+            # argmax there is no tie discontinuity (measured: hard selection
+            # flipped 3/1024 channels under a float-precision rotation).
+            n2 = jnp.sum(h * h, axis=-1)  # (B, N, 2·feat)
+            n2 = (n2 - n2.mean(axis=1, keepdims=True)) / (
+                n2.std(axis=1, keepdims=True) + 1e-6)
+            w = jax.nn.softmax(5.0 * n2, axis=1)
+            sel = jnp.einsum("bnc,bncv->bcv", w, h)
+            pooled = jnp.concatenate([pooled, sel], axis=-2)  # (B, 4·feat, 3)
+        h = pooled
 
         if self.invariant:
             x_std, _ = VNStdFeature(dtype=self.dtype)(h)
@@ -214,11 +237,12 @@ class VN_DGCNN(nn.Module):
 
     @property
     def output_dim(self) -> int:
+        pooled = 2 * self.feat_dim * (2 if self.pool == "mean_maxnorm" else 1)
         if self.invariant:
-            return 2 * self.feat_dim
+            return pooled
         if self.both:
-            return 8 * self.feat_dim
-        return 6 * self.feat_dim
+            return 4 * pooled  # 3·pooled equivariant ‖ pooled invariant
+        return 3 * pooled
 
 
 class VNPointNetEncoder(nn.Module):

@@ -150,3 +150,46 @@ def test_rel_consensus_identity_fixed_point():
     m = so3.quaternion_to_matrix(q)
     assert jnp.abs(ctx[..., :9].reshape(b, p, 3, 3) - m).max() < 1e-4
     assert jnp.abs(ctx[..., 9:12] - t).max() < 1e-4
+
+
+def test_vn_rich_pooling_equivariance():
+    """vn_dgcnn_rich ([mean ‖ max-norm] pooling): the equivariant slice must
+    co-rotate with the input and the invariant slice must not move — the
+    max-norm SELECTION is rotation-invariant so this holds exactly."""
+    from diffassemble_tpu.nn.pointnet import make_point_encoder
+
+    enc, dim = make_point_encoder("vn_dgcnn_rich")
+    assert dim == 2048
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.normal(key, (2, 48, 3))
+    params = enc.init(key, pts)["params"]
+    f = enc.apply({"params": params}, pts)
+    assert f.shape == (2, 2048)
+
+    m = so3.quaternion_to_matrix(so3.random_quaternion(jax.random.fold_in(key, 1), (2,)))
+    pts_rot = jnp.einsum("bvw,bnw->bnv", m, pts)
+    f2 = enc.apply({"params": params}, pts_rot)
+    g = f[:, :1536].reshape(2, 512, 3)
+    g2 = f2[:, :1536].reshape(2, 512, 3)
+    g_exp = jnp.einsum("bvw,bcw->bcv", m, g)
+    assert jnp.abs(g2 - g_exp).max() < 2e-3, "equivariant slice broke"
+    assert jnp.abs(f2[:, 1536:] - f[:, 1536:]).max() < 2e-3, "invariant slice moved"
+
+
+@pytest.mark.slow
+def test_diffusion3d_rel_rich_backbone():
+    cfg = Diffusion3DConfig(
+        steps=10, inference_ratio=5, n_layers=2, hidden_dim=32, heads=2,
+        backbone="vn_dgcnn_rich", rel_pose_weight=0.5, rel_condition=True,
+        max_num_part=4,
+    )
+    model = Diffusion3D(cfg)
+    ds = SyntheticFractures(n=2, num_points=64, min_num_part=2, max_num_part=4, seed=3)
+    nb = collate_fragments([ds[0], ds[1]], max_num_part=4)
+    batch = FragmentBatch(*[jnp.asarray(a) for a in nb])
+    params = model.init(jax.random.PRNGKey(0), batch)
+    (total, ld), grads = jax.value_and_grad(model.loss, has_aux=True)(
+        params, batch, jax.random.PRNGKey(1))
+    assert jnp.isfinite(total)
+    gn = sum(float(jnp.sum(x ** 2)) for x in jax.tree.leaves(grads["relpose"]))
+    assert gn > 0
