@@ -219,8 +219,14 @@ class VN_DGCNN(nn.Module):
             # argmax there is no tie discontinuity (measured: hard selection
             # flipped 3/1024 channels under a float-precision rotation).
             n2 = jnp.sum(h * h, axis=-1)  # (B, N, 2·feat)
-            n2 = (n2 - n2.mean(axis=1, keepdims=True)) / (
-                n2.std(axis=1, keepdims=True) + 1e-6)
+            # Standardize with rsqrt(var+eps), NOT std+eps: the h_mean bank is
+            # constant across points, so those channels have var == 0 exactly,
+            # and d(sqrt)/d(var) at 0 is NaN — it poisoned every upstream grad
+            # (CLAUDE.md NaN-at-zero pattern). rsqrt(var+eps) is smooth there;
+            # a constant channel standardizes to 0 → uniform softmax → mean.
+            n2c = n2 - n2.mean(axis=1, keepdims=True)
+            var = jnp.mean(n2c * n2c, axis=1, keepdims=True)
+            n2 = n2c * jax.lax.rsqrt(var + 1e-12)
             w = jax.nn.softmax(5.0 * n2, axis=1)
             sel = jnp.einsum("bnc,bncv->bcv", w, h)
             pooled = jnp.concatenate([pooled, sel], axis=-2)  # (B, 4·feat, 3)

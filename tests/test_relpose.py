@@ -176,6 +176,27 @@ def test_vn_rich_pooling_equivariance():
     assert jnp.abs(f2[:, 1536:] - f[:, 1536:]).max() < 2e-3, "invariant slice moved"
 
 
+def test_vn_rich_pooling_finite_grads():
+    """Regression: the max-norm pool standardizes per-channel norms, and the
+    h_mean bank is constant across points (variance exactly 0). The original
+    `std + eps` form had a NaN gradient there (d sqrt/d var at 0), which
+    poisoned EVERY upstream grad and made the round-4 rel-pose recipe train
+    on NaN. The rsqrt(var+eps) form must stay finite — including for a fully
+    zero (padded) fragment."""
+    from diffassemble_tpu.nn.vn import VN_DGCNN
+
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.normal(key, (3, 32, 3)).at[1].set(0.0)
+    enc = VN_DGCNN(feat_dim=16, both=True, pool="mean_maxnorm", dtype=jnp.float32)
+    params = enc.init(key, pts)
+
+    def loss(p, x):
+        return jnp.sum(enc.apply(p, x).astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params, pts)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g))
+
+
 @pytest.mark.slow
 def test_diffusion3d_rel_rich_backbone():
     cfg = Diffusion3DConfig(
