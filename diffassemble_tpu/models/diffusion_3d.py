@@ -187,13 +187,25 @@ class Diffusion3D:
         if self.cfg.encoder_init:
             from ..utils.params import load_params, tree_shapes_match
 
-            loaded = load_params(self.cfg.encoder_init)["encoder"]
+            pretrained = load_params(self.cfg.encoder_init)
+            loaded = pretrained["encoder"]
             if not tree_shapes_match(loaded, params["encoder"]):
                 raise ValueError(
                     f"encoder_init {self.cfg.encoder_init!r} does not match the "
                     f"{self.cfg.backbone} point encoder's parameter structure"
                 )
             params = {**params, "encoder": loaded}
+            # rel-supervised pretraining (scripts/tpu_pretrain_encoder_3d_rel.py)
+            # saves the pairwise head alongside the encoder — warm-start it too
+            # when this model runs the rel pathway with a matching head.
+            if self.use_rel and "relpose" in pretrained:
+                if tree_shapes_match(pretrained["relpose"], params["relpose"]):
+                    params = {**params, "relpose": pretrained["relpose"]}
+                else:
+                    raise ValueError(
+                        f"encoder_init {self.cfg.encoder_init!r} has a relpose "
+                        "subtree that does not match this RelPoseHead (rel_k?)"
+                    )
         return params
 
     # -------------------------------------------------------------- features

@@ -43,15 +43,19 @@ N_TRAIN = int(__import__('os').environ.get('PROBE_TRAIN_N', '96'))
 N_TEST = 16
 BATCH = 8
 STEPS = int(__import__('os').environ.get('PROBE_STEPS', '500'))
+# A/B knob (round 4→5): "vn_dgcnn_equiv_inv" (mean pool, equiv 768) vs
+# "vn_dgcnn_rich" (mean ‖ max-norm pool, equiv 1536) — same head either way.
+BACKBONE = __import__('os').environ.get('PROBE_BACKBONE', 'vn_dgcnn_equiv_inv')
+EQUIV_DIM = 1536 if BACKBONE == "vn_dgcnn_rich" else 768
 
 
 class Probe(nn.Module):
     @nn.compact
     def __call__(self, pcds):  # (B, P, N, 3)
         b, p = pcds.shape[:2]
-        enc, _ = make_point_encoder("vn_dgcnn_equiv_inv")
+        enc, _ = make_point_encoder(BACKBONE)
         feats = enc(pcds.reshape(b * p, N_PTS, 3)).reshape(b, p, -1)
-        g, inv = split_equiv_inv(feats)
+        g, inv = split_equiv_inv(feats, EQUIV_DIM)
         # absolute readout: 6dof from invariant+equivariant-norm features
         a = nn.gelu(nn.Dense(128)(nn.LayerNorm()(feats)))
         abs6 = nn.Dense(6)(a)
@@ -132,12 +136,13 @@ def main():
     tr = gd_stats(model, params, train_ds, 32)
     te = gd_stats(model, params, test_ds, N_TEST)
     res = {
-        "steps": STEPS, "train_n": N_TRAIN,
+        "steps": STEPS, "train_n": N_TRAIN, "backbone": BACKBONE,
         "train": {"abs_gd_rad": tr[0], "rel_gd_rad_contact": tr[1], "rel_off_err": tr[2]},
         "heldout": {"abs_gd_rad": te[0], "rel_gd_rad_contact": te[1], "rel_off_err": te[2]},
         "note": "haar-random gd baseline ~2.20 rad; round-3 absolute ceiling 1.83 rad",
     }
-    dst = _pl.Path("results/diagnostics/rel_ab_cpu.json")
+    sfx = "" if BACKBONE == "vn_dgcnn_equiv_inv" else f"_{BACKBONE}"
+    dst = _pl.Path(f"results/diagnostics/rel_ab_cpu{sfx}.json")
     dst.parent.mkdir(parents=True, exist_ok=True)
     dst.write_text(json.dumps(res, indent=1))
     tick(json.dumps(res))

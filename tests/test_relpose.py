@@ -7,6 +7,8 @@ offset as M_i·, confidence must be invariant, and the supervised targets must
 be fixed points of those transforms.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -174,6 +176,46 @@ def test_vn_rich_pooling_equivariance():
     g_exp = jnp.einsum("bvw,bcw->bcv", m, g)
     assert jnp.abs(g2 - g_exp).max() < 2e-3, "equivariant slice broke"
     assert jnp.abs(f2[:, 1536:] - f[:, 1536:]).max() < 2e-3, "invariant slice moved"
+
+
+def test_encoder_init_loads_relpose_subtree(tmp_path):
+    """Diffusion3D.init warm-starts BOTH the encoder and the pairwise head
+    from a rel-pretraining npz (scripts/tpu_pretrain_encoder_3d_rel.py) —
+    the 3D analog of the 2D pose-pretraining recipe."""
+    from diffassemble_tpu.utils.params import save_params
+
+    cfg = Diffusion3DConfig(
+        steps=10, inference_ratio=5, n_layers=2, hidden_dim=32, heads=2,
+        backbone="vn_dgcnn_equiv_inv", rel_pose_weight=0.5, rel_condition=True,
+        max_num_part=4,
+    )
+    model = Diffusion3D(cfg)
+    ds = SyntheticFractures(n=2, num_points=64, min_num_part=2, max_num_part=4, seed=3)
+    nb = collate_fragments([ds[0], ds[1]], max_num_part=4)
+    batch = FragmentBatch(*[jnp.asarray(a) for a in nb])
+    base = model.init(jax.random.PRNGKey(0), batch)
+
+    # fabricate "pretrained" subtrees with recognizable values
+    pre = jax.tree.map(lambda x: jnp.full_like(x, 0.25),
+                       {"encoder": base["encoder"], "relpose": base["relpose"]})
+    path = tmp_path / "rel3d.npz"
+    save_params(str(path), pre)
+
+    model2 = Diffusion3D(dataclasses.replace(cfg, encoder_init=str(path)))
+    loaded = model2.init(jax.random.PRNGKey(1), batch)
+    for sub in ("encoder", "relpose"):
+        assert all(bool(jnp.all(x == 0.25)) for x in jax.tree.leaves(loaded[sub])), sub
+    # denoiser stays freshly initialized
+    assert any(bool(jnp.any(x != 0.25)) for x in jax.tree.leaves(loaded["denoiser"]))
+
+    # a mismatched relpose subtree must fail loudly, not silently skip
+    bad = {"encoder": base["encoder"],
+           "relpose": jax.tree.map(lambda x: jnp.zeros(x.shape + (2,)), base["relpose"])}
+    bad_path = tmp_path / "bad.npz"
+    save_params(str(bad_path), bad)
+    model3 = Diffusion3D(dataclasses.replace(cfg, encoder_init=str(bad_path)))
+    with pytest.raises(ValueError, match="relpose"):
+        model3.init(jax.random.PRNGKey(2), batch)
 
 
 def test_vn_rich_pooling_finite_grads():
