@@ -176,3 +176,83 @@ def test_geometry_part_dataset_category_filter(tmp_path):
     ds = GeometryPartDataset(str(tmp_path / "data"), "split.txt", category="mug",
                              num_points=64)
     assert len(ds) == 1
+
+
+# ------------------------------------------------- end-to-end from disk files
+
+
+def test_celeba_layout_trains_end_to_end(tmp_path):
+    """datasets/celeba-hq layout (images + data_splits/CelebA-HQ_*.txt) →
+    get_dataset("celeba") → Trainer: the full real-data 2D path from PNG
+    decode through train_step and eval, no synthetic stand-in anywhere.
+    Reference parity: celeba_dt.py:11 + train_script.py dataset wiring."""
+    from diffassemble_tpu.data import get_dataset
+    from diffassemble_tpu.models.diffusion_2d import Diffusion2D, Diffusion2DConfig
+    from diffassemble_tpu.train.trainer import Trainer
+
+    root = tmp_path / "datasets"
+    img_dir = root / "celeba-hq"
+    img_dir.mkdir(parents=True)
+    for i in range(5):
+        _write_png(img_dir / f"face{i}.png", (96, 80), i)
+    splits = root / "data_splits"
+    splits.mkdir()
+    (splits / "CelebA-HQ_train.txt").write_text("face0.png\nface1.png\nface2.png\n")
+    (splits / "CelebA-HQ_test.txt").write_text("face3.png\nface4.png\n")
+
+    train_ds, test_ds, _ = get_dataset(
+        "celeba", puzzle_sizes=[2], rotation=True, data_root=str(root))
+    assert len(train_ds) == 3 and len(test_ds) == 2
+
+    cfg = Diffusion2DConfig(
+        steps=10, inference_ratio=5, mean_type="xstart", backbone="tiny",
+        n_layers=2, hidden_dim=32, heads=4, rotation=True,
+    )
+    trainer = Trainer(
+        Diffusion2D(cfg), run_dir=str(tmp_path / "run"), max_steps=2,
+        batch_size=2, eval_every=100, checkpoint_every=100,
+        sanity_eval_batches=0, log_quiet=True,
+    )
+    state = trainer.fit(train_ds, test_ds)
+    assert int(state.step) == 2
+    metrics = trainer.evaluate(state.params, test_ds, max_batches=1)
+    assert np.isfinite(metrics["overall_acc"])
+
+
+def test_breaking_bad_layout_trains_end_to_end(tmp_path):
+    """Breaking-Bad on-disk layout (fracture dirs of .obj parts +
+    data_split/everyday.{train,val}.txt) → get_dataset_3d → Trainer: the full
+    real-data 3D path from OBJ parse through train_step and eval metrics.
+    Reference parity: breakingbad_dt.py:48-134 + train_3d.py dataset wiring."""
+    from diffassemble_tpu.data.breaking_bad import get_dataset_3d
+    from diffassemble_tpu.models.diffusion_3d import Diffusion3D, Diffusion3DConfig
+    from diffassemble_tpu.train.trainer import Trainer, fragment_adapter
+
+    root = tmp_path / "bb"
+    _write_fracture(root, "everyday/mug/frac0", 2)
+    _write_fracture(root, "everyday/mug/frac1", 3)
+    _write_fracture(root, "everyday/vase/frac2", 2)
+    _write_fracture(root, "everyday/vase/frac3", 3)
+    split = root / "data_split"
+    split.mkdir()
+    (split / "everyday.train.txt").write_text("everyday/mug/frac0\neveryday/mug/frac1\n")
+    (split / "everyday.val.txt").write_text("everyday/vase/frac2\neveryday/vase/frac3\n")
+
+    train_ds, test_ds, cat_names = get_dataset_3d(
+        "breaking-bad", data_dir=str(root), num_points=32, max_num_part=4)
+    assert len(train_ds) == 2 and len(test_ds) == 2
+
+    cfg = Diffusion3DConfig(
+        steps=8, inference_ratio=4, backbone="pointnet", n_layers=2,
+        hidden_dim=32, heads=4, max_num_part=4,
+    )
+    trainer = Trainer(
+        Diffusion3D(cfg), run_dir=str(tmp_path / "run3d"), max_steps=2,
+        batch_size=2, sanity_eval_batches=0, monitor="rmse_t_AVG",
+        monitor_mode="min", adapter=fragment_adapter(4, cat_names),
+        log_quiet=True,
+    )
+    state = trainer.fit(train_ds, test_ds)
+    assert int(state.step) == 2
+    metrics = trainer.evaluate(state.params, test_ds, max_batches=1)
+    assert np.isfinite(metrics["rmse_t_AVG"])
