@@ -95,6 +95,8 @@ def add_2d_args(ap: argparse.ArgumentParser) -> None:
     )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--data_root", type=str, default=None)
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="EMA of params for eval (0 = off, reference parity)")
 
 
 def build_2d_model(args) -> Diffusion2D:
@@ -171,6 +173,7 @@ def run_2d(args) -> None:
         accumulate=max(args.acc_grad, 1),
         mesh=mesh,
         seed=args.seed,
+        ema_decay=args.ema_decay or None,
     )
     if args.evaluate:
         import jax

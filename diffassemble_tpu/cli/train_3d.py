@@ -77,6 +77,8 @@ def add_3d_args(ap: argparse.ArgumentParser) -> None:
                     help="wall point-density multiplier in SyntheticFractures")
     ap.add_argument("--num_points", type=int, default=1000,
                     help="points sampled per part (reference --num_points)")
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="EMA of params for eval (0 = off, reference parity)")
     ap.add_argument("--deadline_margin", type=float, default=None,
                     help="wind down this many seconds before the build "
                          "driver's round cutoff (utils/deadline.py)")
@@ -153,6 +155,7 @@ def run_3d(args, missing: int = 0) -> None:
             args.max_num_part, cats, missing_perc=args.missing, seed=args.seed
         ),
         deadline_margin=args.deadline_margin,
+        ema_decay=args.ema_decay or None,
     )
     if args.evaluate:
         from ..train.train_state import create_train_state

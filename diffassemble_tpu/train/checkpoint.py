@@ -54,9 +54,14 @@ class CheckpointManager:
         return json.loads((self.directory / "config.json").read_text())
 
     def save(self, step: int, state, metrics: dict[str, float] | None = None) -> None:
+        # None-valued fields (e.g. TrainState.ema_params when EMA is off) are
+        # dropped so the on-disk structure stays identical to checkpoints
+        # written before the field existed — orbax rejects key-set mismatches
+        # even for empty nodes, which would break every legacy restore.
+        tree = {k: v for k, v in state._asdict().items() if v is not None}
         self.mgr.save(
             step,
-            args=ocp.args.StandardSave(jax.tree.map(np.asarray, state._asdict())),
+            args=ocp.args.StandardSave(jax.tree.map(np.asarray, tree)),
             metrics={k: float(v) for k, v in (metrics or {}).items()},
         )
         self.mgr.wait_until_finished()
@@ -65,15 +70,20 @@ class CheckpointManager:
         step = step if step is not None else self.mgr.latest_step()
         if step is None:
             return None
+        d = state_template._asdict()
+        none_keys = [k for k, v in d.items() if v is None]
+        tmpl = {k: v for k, v in d.items() if v is not None}
         try:
             restored = self.mgr.restore(
-                step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, state_template._asdict()))
+                step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, tmpl))
             )
         except ValueError as e:
             # structural mismatch (e.g. optimizer changed between runs):
             # start fresh rather than crashing the resume path
             print(f"checkpoint at step {step} is incompatible, starting fresh: {e}", flush=True)
             return None
+        restored = dict(restored)
+        restored.update({k: None for k in none_keys})
         return type(state_template)(**restored)
 
     def latest_step(self) -> int | None:
@@ -116,7 +126,11 @@ def restore_explicit(path: str, state_template):
     step = step if step is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint steps under {root}")
-    restored = mgr.restore(
-        step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, state_template._asdict()))
-    )
+    d = state_template._asdict()
+    none_keys = [k for k, v in d.items() if v is None]
+    tmpl = {k: v for k, v in d.items() if v is not None}
+    restored = dict(mgr.restore(
+        step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, tmpl))
+    ))
+    restored.update({k: None for k in none_keys})
     return type(state_template)(**restored)

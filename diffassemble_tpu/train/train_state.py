@@ -21,16 +21,25 @@ class TrainState(NamedTuple):
     opt_state: Any
     step: jnp.ndarray  # scalar int32
     rng: jax.Array
+    # Exponential moving average of params for evaluation (None = EMA off —
+    # checkpoint.py drops None fields so legacy checkpoints stay restorable).
+    # Not in the reference (Lightning runs eval on the live params); standard
+    # diffusion practice and an opt-in quality lever here.
+    ema_params: Any = None
 
 
 def create_train_state(
-    params: Any, optimizer: optax.GradientTransformation, rng: jax.Array
+    params: Any, optimizer: optax.GradientTransformation, rng: jax.Array,
+    ema: bool = False,
 ) -> TrainState:
     return TrainState(
         params=params,
         opt_state=optimizer.init(params),
         step=jnp.zeros((), jnp.int32),
         rng=rng,
+        # distinct buffers, NOT an alias of params: the train step donates the
+        # whole state and XLA rejects donating the same buffer twice
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
     )
 
 
@@ -39,6 +48,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     accumulate: int = 1,
     max_grad_norm: float | None = 10.0,
+    ema_decay: float | None = None,
 ) -> Callable[[TrainState, Any], tuple[TrainState, dict]]:
     """Build the jitted train step; donates state for in-place buffer reuse.
 
@@ -89,7 +99,14 @@ def make_train_step(
         grads = _clip(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, opt_state, state.step + 1, rng)
+        ema = state.ema_params
+        if ema_decay is not None and ema is not None:
+            # warmup-debiased decay: early steps track params closely instead
+            # of averaging in the random init
+            t = (state.step + 1).astype(jnp.float32)
+            d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
+            ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema, params)
+        new_state = TrainState(params, opt_state, state.step + 1, rng, ema)
         aux = dict(aux)
         aux["grad_norm"] = optax.global_norm(grads)
         # per-subtree norms (encoder vs denoiser) — the first thing to look at

@@ -54,6 +54,11 @@ class JsonlLogger:
             print(short, flush=True)
 
 
+def _eval_params(state):
+    """Params to evaluate/monitor with: the EMA average when enabled."""
+    return state.ema_params if state.ema_params is not None else state.params
+
+
 def _scalar(v):
     if isinstance(v, (jnp.ndarray, np.ndarray)):
         return float(np.asarray(v).mean())
@@ -137,6 +142,7 @@ class Trainer:
         calibrate_eval: bool = True,
         calibrate_batches: int = 4,
         deadline_margin: float | None = None,
+        ema_decay: float | None = None,
     ):
         self.model = model
         self.run_dir = Path(run_dir)
@@ -150,8 +156,11 @@ class Trainer:
         self.adapter = adapter or puzzle_adapter()
         self.logger = JsonlLogger(self.run_dir, quiet=log_quiet)
         self.ckpt = CheckpointManager(self.run_dir / "checkpoints", monitor, monitor_mode)
+        # EMA of params for eval/monitoring (opt-in; None = reference parity)
+        self.ema_decay = ema_decay
         self.optimizer = model.make_optimizer()
-        self.train_step = make_train_step(model.loss, self.optimizer, accumulate)
+        self.train_step = make_train_step(
+            model.loss, self.optimizer, accumulate, ema_decay=ema_decay)
         self._eval_fn: Callable | None = None
         self.viz_every_eval = viz_every_eval
         self.calibrate_eval = calibrate_eval
@@ -176,15 +185,27 @@ class Trainer:
             rng = jax.random.PRNGKey(self.seed)
             k_init, k_state = jax.random.split(rng)
             params = self.model.init(k_init, first)
-            state = create_train_state(params, self.optimizer, k_state)
+            ema_on = self.ema_decay is not None
+            state = create_train_state(params, self.optimizer, k_state, ema=ema_on)
             restored = self.ckpt.restore(state)
+            if restored is None and ema_on:
+                # resuming a pre-EMA checkpoint with EMA newly enabled:
+                # restore the legacy structure and seed the average from the
+                # restored params
+                legacy = self.ckpt.restore(
+                    create_train_state(params, self.optimizer, k_state, ema=False))
+                if legacy is not None:
+                    # copy, don't alias: the donated train step needs distinct
+                    # buffers for params and ema_params
+                    restored = legacy._replace(
+                        ema_params=jax.tree.map(jnp.copy, legacy.params))
             if restored is not None:
                 state = restored
                 print(f"resumed from step {int(state.step)}", flush=True)
         self.ckpt.save_config(self.model.cfg)
 
         if eval_ds is not None and self.sanity_eval_batches > 0:
-            self.evaluate(state.params, eval_ds, max_batches=self.sanity_eval_batches, tag="sanity")
+            self.evaluate(_eval_params(state), eval_ds, max_batches=self.sanity_eval_batches, tag="sanity")
 
         guard = PreemptionGuard().install()
         step = int(state.step)
@@ -202,7 +223,7 @@ class Trainer:
                     t_last = time.time()
                     self.logger.log(step, {**aux, "steps_per_s": 50 / max(dt, 1e-9)})
                 if eval_ds is not None and step % self.eval_every == 0:
-                    metrics = self.evaluate(state.params, eval_ds, step=step)
+                    metrics = self.evaluate(_eval_params(state), eval_ds, step=step)
                     self.ckpt.save(step, state, metrics)
                 elif step % self.checkpoint_every == 0:
                     self.ckpt.save(step, state)
@@ -217,7 +238,7 @@ class Trainer:
                 ):
                     print(f"round-deadline guard: stopping at step {step}", flush=True)
                     metrics = (
-                        self.evaluate(state.params, eval_ds, step=step)
+                        self.evaluate(_eval_params(state), eval_ds, step=step)
                         if eval_ds is not None else None
                     )
                     self.ckpt.save(step, state, metrics)

@@ -271,3 +271,48 @@ def test_trainer_deadline_guard_stops_and_checkpoints(tmp_path):
     state = trainer.fit(train_ds)
     assert int(state.step) == 50
     assert trainer.ckpt.latest_step() == 50
+
+
+def test_ema_state_and_legacy_checkpoint_compat(tmp_path):
+    """EMA is opt-in: (a) with it off the on-disk checkpoint structure is
+    identical to pre-EMA checkpoints (None fields dropped — orbax rejects
+    key-set mismatches, which would break bench.py's restore of the durable
+    weights/); (b) an EMA-on resume of a legacy checkpoint seeds the average
+    from the restored params; (c) the EMA tree actually lags the live params."""
+    from diffassemble_tpu.train.checkpoint import CheckpointManager
+    from diffassemble_tpu.train.trainer import Trainer
+
+    model = _tiny()
+    train_ds, test_ds, _ = get_dataset("synthetic", puzzle_sizes=[2], train_n=4, test_n=2)
+
+    # legacy-producer: EMA off
+    t1 = Trainer(model, run_dir=str(tmp_path / "run"), max_steps=2, batch_size=2,
+                 eval_every=100, checkpoint_every=2, sanity_eval_batches=0,
+                 log_quiet=True)
+    s1 = t1.fit(train_ds, test_ds)
+    assert s1.ema_params is None
+    # the saved tree has no ema key: a fresh no-EMA template restores it
+    ck = CheckpointManager(str(tmp_path / "run" / "checkpoints"), monitor="")
+    restored = ck.restore(create_train_state(s1.params, t1.optimizer, jax.random.PRNGKey(0)))
+    assert restored is not None and restored.ema_params is None
+    assert int(restored.step) == 2
+
+    # EMA-on resume of that legacy checkpoint
+    t2 = Trainer(model, run_dir=str(tmp_path / "run"), max_steps=4, batch_size=2,
+                 eval_every=100, checkpoint_every=100, sanity_eval_batches=0,
+                 log_quiet=True, ema_decay=0.9)
+    s2 = t2.fit(train_ds, test_ds)
+    assert int(s2.step) == 4 and s2.ema_params is not None
+    # EMA differs from live params after steps (it lags) but stays close
+    dif = sum(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(s2.params), jax.tree.leaves(s2.ema_params)))
+    assert dif > 0
+
+    # EMA-on checkpoint roundtrips with an EMA-on template
+    ck2 = CheckpointManager(str(tmp_path / "run" / "checkpoints"), monitor="")
+    tmpl = create_train_state(s2.params, t2.optimizer, jax.random.PRNGKey(0), ema=True)
+    r2 = ck2.restore(tmpl)
+    assert r2 is not None and r2.ema_params is not None
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(r2.ema_params)[0]),
+        np.asarray(jax.tree.leaves(s2.ema_params)[0]))
