@@ -221,6 +221,7 @@ def make_device_train_step(
     optimizer,
     rotation: bool,
     max_grad_norm: float | None = 10.0,
+    ema_decay: float | None = None,
 ):
     """Jitted, donated train step over device-resident data: index sampling,
     batch gather, rotation augmentation, grad, update — zero host involvement.
@@ -244,7 +245,12 @@ def make_device_train_step(
             grads = jax.tree.map(lambda g: g * scale, grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, opt_state, state.step + 1, k_next)
+        ema = state.ema_params
+        if ema_decay is not None and ema is not None:
+            t = (state.step + 1).astype(jnp.float32)
+            d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
+            ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema, params)
+        new_state = TrainState(params, opt_state, state.step + 1, k_next, ema)
         aux = dict(aux)
         aux["grad_norm"] = optax.global_norm(grads)
         if isinstance(grads, dict):

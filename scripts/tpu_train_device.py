@@ -91,6 +91,8 @@ def main():
     ap.add_argument("--viz_every_eval", type=int, default=1,
                     help="save N reconstruction PNGs per eval (0 = off)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="EMA of params for eval (0 = off)")
     ap.add_argument("--deadline_margin", type=float, default=3600.0,
                     help="stop training this many seconds before the round "
                          "cutoff so the driver's bench.py can claim the chip "
@@ -169,9 +171,19 @@ def main():
     first = gather_batch(data, jnp.arange(1), jax.random.PRNGKey(0) if rotation else None)
     params = model.init(jax.random.PRNGKey(args.seed), first)
     opt = model.make_optimizer()
-    state = create_train_state(params, opt, jax.random.PRNGKey(args.seed + 1))
+    ema_on = args.ema_decay > 0
+    state = create_train_state(params, opt, jax.random.PRNGKey(args.seed + 1),
+                               ema=ema_on)
     ckpt = CheckpointManager(f"{args.run_dir}/checkpoints", args.monitor, "max")
     restored = ckpt.restore(state)
+    if restored is None and ema_on:
+        # pre-EMA checkpoint + EMA newly on: restore legacy structure, seed
+        # the average from the restored params (copied — donation aliasing)
+        legacy = ckpt.restore(
+            create_train_state(params, opt, jax.random.PRNGKey(args.seed + 1)))
+        if legacy is not None:
+            restored = legacy._replace(
+                ema_params=jax.tree.map(jnp.copy, legacy.params))
     if restored is not None:
         state = restored
         tick(f"resumed from step {int(state.step)}")
@@ -187,7 +199,9 @@ def main():
     }))
     logger = JsonlLogger(args.run_dir)
 
-    train_step = make_device_train_step(model.loss, opt, rotation=rotation)
+    train_step = make_device_train_step(
+        model.loss, opt, rotation=rotation,
+        ema_decay=args.ema_decay if ema_on else None)
 
     @jax.jit
     def eval_fn(params, batch, key):
@@ -241,10 +255,10 @@ def main():
             t_last = time.time()
             logger.log(step, {**aux, "steps_per_s": args.log_every / max(dt, 1e-9)})
         if step % args.eval_every == 0 or step == args.max_steps:
-            m = run_eval(state.params, "val", step)
+            m = run_eval(state.ema_params if ema_on else state.params, "val", step)
             ckpt.save(step, state, m)
             t_last = time.time()
-    m = run_eval(state.params, "final", step)
+    m = run_eval(state.ema_params if ema_on else state.params, "final", step)
     if ckpt.latest_step() != step:  # deadline-guard exit between eval points
         ckpt.save(step, state, m)
     tick(f"final: overall_acc={m.get('overall_acc', float('nan')):.4f} "
