@@ -8,11 +8,20 @@ set -u
 cd /root/repo
 mkdir -p runs/queue_logs
 
-prev=$(cat /tmp/queue_r4.pid 2>/dev/null || true)
-if [ -n "${prev:-}" ]; then
-  echo "[queueC $(date +%H:%M:%S)] waiting for queue $prev to finish"
-  while kill -0 "$prev" 2>/dev/null; do sleep 60; done
-fi
+# Record our real shell PID immediately ($! after `setsid cmd &` is the
+# short-lived setsid wrapper, not this shell).
+echo $$ > /tmp/queue_c.pid
+# Wait until EVERY pid in the queue chain is gone, re-reading the file each
+# loop (waiting on a single snapshot raced queue B's startup: A's exit freed
+# both at once and two claimants hit the relay together).
+while :; do
+  alive=0
+  for p in $(cat /tmp/queue_chain.pids 2>/dev/null); do
+    kill -0 "$p" 2>/dev/null && alive=1
+  done
+  [ "$alive" -eq 0 ] && break
+  sleep 60
+done
 left=$(env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python - <<'EOF'
 import sys
 sys.path.insert(0, "/root/repo")
