@@ -208,7 +208,8 @@ def main() -> None:
         state = create_train_state(params, model.make_optimizer(), jax.random.PRNGKey(0))
         restored = ckpt.restore(state)
         if restored is not None:
-            params = restored.params
+            from diffassemble_tpu.train.train_state import eval_params
+            params = eval_params(restored)
             m = jax.jit(model.evaluate)(params, make_batch(EVAL_N), jax.random.PRNGKey(2))
             acc = float(np.asarray(m["piece_acc"]).mean())
         else:

@@ -191,7 +191,8 @@ def run_2d(args) -> None:
         else:
             restored = trainer.ckpt.restore(state)
             if restored is not None:
-                params = restored.params
+                from ..train.train_state import eval_params
+                params = eval_params(restored)
         metrics = trainer.evaluate(params, test_ds, tag="test")
         print({k: round(v, 4) for k, v in metrics.items()})
         return

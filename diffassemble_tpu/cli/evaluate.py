@@ -73,12 +73,15 @@ def main() -> None:
         from ..train.checkpoint import restore_explicit
 
         restored = restore_explicit(args.checkpoint_path, state)
-        params = restored.params
+        from ..train.train_state import eval_params
+        params = eval_params(restored)
         print(f"restored step {int(restored.step)} from {args.checkpoint_path}")
     else:
         restored = ckpt.restore(state)
         if restored is not None:
-            params = restored.params
+            from ..train.train_state import eval_params
+
+            params = eval_params(restored)
             print(f"restored step {int(restored.step)}")
         else:
             print("WARNING: no checkpoint found, using random init")

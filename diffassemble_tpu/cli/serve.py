@@ -59,7 +59,8 @@ class PuzzleSolver:
             self.params = restore_explicit(checkpoint_path, state).params
         else:
             restored = ckpt.restore(state)
-            self.params = restored.params if restored is not None else params
+            from ..train.train_state import eval_params
+            self.params = eval_params(restored) if restored is not None else params
         import os
 
         stats_path = f"{run_dir}/norm_stats.npz"

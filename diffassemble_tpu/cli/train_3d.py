@@ -170,7 +170,8 @@ def run_3d(args, missing: int = 0) -> None:
         else:
             restored = trainer.ckpt.restore(state)
             if restored is not None:
-                params = restored.params
+                from ..train.train_state import eval_params
+                params = eval_params(restored)
         # --num_iter repeated test with mean/std aggregation
         # (reference train_3d_missing.py:147-164)
         if getattr(args, "export_meshes", False):

@@ -73,16 +73,39 @@ class CheckpointManager:
         d = state_template._asdict()
         none_keys = [k for k, v in d.items() if v is None]
         tmpl = {k: v for k, v in d.items() if v is not None}
+
+        def _try(t):
+            return dict(self.mgr.restore(
+                step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, t))
+            ))
+
         try:
-            restored = self.mgr.restore(
-                step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, tmpl))
-            )
-        except ValueError as e:
-            # structural mismatch (e.g. optimizer changed between runs):
-            # start fresh rather than crashing the resume path
-            print(f"checkpoint at step {step} is incompatible, starting fresh: {e}", flush=True)
-            return None
-        restored = dict(restored)
+            restored = _try(tmpl)
+        except ValueError as first_err:
+            # EMA on-disk/template mismatches are expected across recipes and
+            # must reconcile in BOTH directions (bench.py and the eval CLIs
+            # build EMA-off templates but must read EMA-on checkpoints):
+            restored = None
+            try:
+                if d.get("ema_params") is None and "ema_params" in d:
+                    # saved WITH ema, caller without: ema mirrors params'
+                    # structure, so restore it and expose it on the state
+                    restored = _try({**tmpl, "ema_params": tmpl["params"]})
+                    none_keys = [k for k in none_keys if k != "ema_params"]
+                elif d.get("ema_params") is not None:
+                    # saved WITHOUT ema, caller with: restore the legacy
+                    # structure and seed the average from the params (copied —
+                    # the donated train step needs distinct buffers)
+                    restored = _try({k: v for k, v in tmpl.items() if k != "ema_params"})
+                    restored["ema_params"] = jax.tree.map(np.copy, restored["params"])
+            except ValueError:
+                restored = None
+            if restored is None:
+                # structural mismatch (e.g. optimizer changed between runs):
+                # start fresh rather than crashing the resume path
+                print(f"checkpoint at step {step} is incompatible, "
+                      f"starting fresh: {first_err}", flush=True)
+                return None
         restored.update({k: None for k in none_keys})
         return type(state_template)(**restored)
 
@@ -129,8 +152,22 @@ def restore_explicit(path: str, state_template):
     d = state_template._asdict()
     none_keys = [k for k, v in d.items() if v is None]
     tmpl = {k: v for k, v in d.items() if v is not None}
-    restored = dict(mgr.restore(
-        step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, tmpl))
-    ))
+
+    def _try(t):
+        return dict(mgr.restore(
+            step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, t))
+        ))
+
+    try:
+        restored = _try(tmpl)
+    except ValueError:
+        # EMA on-disk/template mismatch — same reconciliation as
+        # CheckpointManager.restore (both directions)
+        if d.get("ema_params") is None and "ema_params" in d:
+            restored = _try({**tmpl, "ema_params": tmpl["params"]})
+            none_keys = [k for k in none_keys if k != "ema_params"]
+        else:
+            restored = _try({k: v for k, v in tmpl.items() if k != "ema_params"})
+            restored["ema_params"] = jax.tree.map(np.copy, restored["params"])
     restored.update({k: None for k in none_keys})
     return type(state_template)(**restored)

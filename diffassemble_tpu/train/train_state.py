@@ -43,6 +43,13 @@ def create_train_state(
     )
 
 
+def eval_params(state: TrainState):
+    """Params to evaluate/serve with: the EMA average when the checkpoint
+    carries one (the monitored metrics were computed on it), else the live
+    params."""
+    return state.ema_params if state.ema_params is not None else state.params
+
+
 def make_train_step(
     loss_fn: Callable[[Any, Any, jax.Array], tuple[jnp.ndarray, dict]],
     optimizer: optax.GradientTransformation,

@@ -74,7 +74,8 @@ def main():
     state = create_train_state(params, model0.make_optimizer(), jax.random.PRNGKey(0))
     restored = ckpt.restore(state)
     assert restored is not None
-    params = restored.params
+    from diffassemble_tpu.train.train_state import eval_params
+    params = eval_params(restored)
     tick(f"restored step {int(restored.step)}")
 
     out = _pl.Path(args.out)

@@ -316,3 +316,15 @@ def test_ema_state_and_legacy_checkpoint_compat(tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(r2.ema_params)[0]),
         np.asarray(jax.tree.leaves(s2.ema_params)[0]))
+
+    # the bench/eval direction: an EMA-on checkpoint must restore through a
+    # NO-EMA template (bench.py builds one), exposing the average so
+    # eval_params() serves the monitored weights
+    from diffassemble_tpu.train.train_state import eval_params
+
+    ck3 = CheckpointManager(str(tmp_path / "run" / "checkpoints"), monitor="")
+    r3 = ck3.restore(create_train_state(s2.params, t2.optimizer, jax.random.PRNGKey(0)))
+    assert r3 is not None and r3.ema_params is not None
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(eval_params(r3))[0]),
+        np.asarray(jax.tree.leaves(s2.ema_params)[0]))
