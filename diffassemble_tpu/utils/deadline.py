@@ -38,20 +38,21 @@ def round_deadline(progress_path: str | None = None) -> float:
     # Hard override for short driver windows (round-4 restart ran ~1 h, not
     # 12 h): queue scripts export DIFFASSEMBLE_DEADLINE_EPOCH and every
     # consumer (Trainer guard, watchdog, queue run()) sees the same cutoff.
-    env = os.environ.get("DIFFASSEMBLE_DEADLINE_EPOCH")
-    if env:
+    if progress_path is None:  # explicit path (tests) bypasses the overrides
+        env = os.environ.get("DIFFASSEMBLE_DEADLINE_EPOCH")
+        if env:
+            try:
+                return float(env)
+            except ValueError:
+                pass
+        # Live-updatable file override: the builder writes/updates this epoch
+        # as it learns the window length; consumers re-read it on every check,
+        # so a mid-run extension takes effect without restarting the process.
         try:
-            return float(env)
-        except ValueError:
+            with open(os.path.join(os.path.dirname(_PROGRESS), ".deadline_epoch")) as f:
+                return float(f.read().strip())
+        except Exception:
             pass
-    # Live-updatable file override: the builder writes/updates this epoch as
-    # it learns the window length; consumers re-read it on every check, so a
-    # mid-run extension takes effect without restarting the training process.
-    try:
-        with open(os.path.join(os.path.dirname(_PROGRESS), ".deadline_epoch")) as f:
-            return float(f.read().strip())
-    except Exception:
-        pass
     path = progress_path or _PROGRESS
     try:
         last = None

@@ -328,3 +328,27 @@ def test_ema_state_and_legacy_checkpoint_compat(tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(eval_params(r3))[0]),
         np.asarray(jax.tree.leaves(s2.ema_params)[0]))
+
+
+def test_round_deadline_overrides(tmp_path, monkeypatch):
+    """Short driver windows: DIFFASSEMBLE_DEADLINE_EPOCH env beats the
+    .deadline_epoch file, which beats the PROGRESS heuristic; an explicit
+    progress_path (this test suite's own usage) bypasses both."""
+    import importlib
+
+    from diffassemble_tpu.utils import deadline as dl
+
+    prog = tmp_path / "PROGRESS.jsonl"
+    prog.write_text('{"ts": 1000000.0, "wall_s": 100.0}\n')
+    # explicit path: pure PROGRESS arithmetic, overrides ignored
+    monkeypatch.setenv("DIFFASSEMBLE_DEADLINE_EPOCH", "123.0")
+    assert dl.round_deadline(str(prog)) == 1000000.0 - 100.0 + 43200.0
+    # env override
+    assert dl.round_deadline() == 123.0
+    monkeypatch.delenv("DIFFASSEMBLE_DEADLINE_EPOCH")
+    # file override (point the module at a scratch repo root)
+    monkeypatch.setattr(dl, "_PROGRESS", str(prog))
+    (tmp_path / ".deadline_epoch").write_text("456.5\n")
+    assert dl.round_deadline() == 456.5
+    (tmp_path / ".deadline_epoch").unlink()
+    assert dl.round_deadline() == 1000000.0 - 100.0 + 43200.0
