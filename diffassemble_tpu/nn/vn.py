@@ -226,7 +226,14 @@ class VN_DGCNN(nn.Module):
             # a constant channel standardizes to 0 → uniform softmax → mean.
             n2c = n2 - n2.mean(axis=1, keepdims=True)
             var = jnp.mean(n2c * n2c, axis=1, keepdims=True)
-            n2 = n2c * jax.lax.rsqrt(var + 1e-12)
+            # stop_gradient on the normalizer: rsqrt(var+eps) is finite at
+            # var=0 but its DERIVATIVE is ~var^-1.5 — near-zero-variance
+            # channels produced ~1e20 (finite!) grads whose global-norm
+            # sum-of-squares overflowed f32 to inf, zeroing the clip scale
+            # and freezing the r4c 3D run at step ~420. The scale is only a
+            # temperature normalizer for the softmax weights; learning signal
+            # flows through n2c.
+            n2 = n2c * jax.lax.stop_gradient(jax.lax.rsqrt(var + 1e-12))
             w = jax.nn.softmax(5.0 * n2, axis=1)
             sel = jnp.einsum("bnc,bncv->bcv", w, h)
             pooled = jnp.concatenate([pooled, sel], axis=-2)  # (B, 4·feat, 3)

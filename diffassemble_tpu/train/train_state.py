@@ -70,8 +70,16 @@ def make_train_step(
     def _clip(grads):
         if max_grad_norm is None:
             return grads
-        # stateless global-norm clip so the caller's opt_state stays valid
-        gnorm = optax.global_norm(grads)
+        # stateless global-norm clip so the caller's opt_state stays valid.
+        # Overflow-safe norm: ||g|| = m·||g/m|| with m = max|entry| — a direct
+        # sum of squares overflows f32 to inf once any entry exceeds ~2e19
+        # (seen with near-zero-variance standardization grads), which would
+        # make scale exactly 0 and silently freeze training.
+        absmax = jax.tree.reduce(
+            jnp.maximum, jax.tree.map(lambda g: jnp.max(jnp.abs(g)), grads)
+        )
+        m = jnp.maximum(absmax, 1.0)
+        gnorm = m * optax.global_norm(jax.tree.map(lambda g: g / m, grads))
         scale = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-9))
         return jax.tree.map(lambda g: g * scale, grads)
 
@@ -103,6 +111,18 @@ def make_train_step(
             loss = loss / accumulate
             aux = {"loss": loss}
 
+        # Non-finite guard BEFORE the clip: a single Inf entry drives
+        # global_norm→inf ⇒ clip scale→0, silently zeroing EVERY grad — and
+        # since the params then freeze at the exact point that produces the
+        # Inf, training is stuck forever (observed: 3D rel-pose run, r4c,
+        # frozen from step ~420 with loss finite and grad_norm exactly 0).
+        # Zeroing only the offending entries lets the finite components keep
+        # learning and move the params away from the pathological point.
+        # `grad_nonfinite` (0/1 per step) makes the event visible in logs.
+        raw_norm = optax.global_norm(grads)
+        grads = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0), grads
+        )
         grads = _clip(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -116,6 +136,7 @@ def make_train_step(
         new_state = TrainState(params, opt_state, state.step + 1, rng, ema)
         aux = dict(aux)
         aux["grad_norm"] = optax.global_norm(grads)
+        aux["grad_nonfinite"] = 1.0 - jnp.isfinite(raw_norm).astype(jnp.float32)
         # per-subtree norms (encoder vs denoiser) — the first thing to look at
         # when a recipe stalls (see CLAUDE.md round-1 findings)
         if isinstance(grads, dict):
