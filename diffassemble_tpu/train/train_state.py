@@ -119,7 +119,14 @@ def make_train_step(
         # Zeroing only the offending entries lets the finite components keep
         # learning and move the params away from the pathological point.
         # `grad_nonfinite` (0/1 per step) makes the event visible in logs.
-        raw_norm = optax.global_norm(grads)
+        # per-leaf finiteness, NOT isfinite(global_norm): the norm itself
+        # overflows f32 to inf for large-but-finite grads (ADVICE r4), which
+        # would report a non-finite event when nothing was zeroed
+        all_finite = jax.tree.reduce(
+            lambda a, g: jnp.logical_and(a, jnp.all(jnp.isfinite(g))),
+            grads,
+            jnp.asarray(True),
+        )
         grads = jax.tree.map(
             lambda g: jnp.where(jnp.isfinite(g), g, 0), grads
         )
@@ -136,7 +143,7 @@ def make_train_step(
         new_state = TrainState(params, opt_state, state.step + 1, rng, ema)
         aux = dict(aux)
         aux["grad_norm"] = optax.global_norm(grads)
-        aux["grad_nonfinite"] = 1.0 - jnp.isfinite(raw_norm).astype(jnp.float32)
+        aux["grad_nonfinite"] = 1.0 - all_finite.astype(jnp.float32)
         # per-subtree norms (encoder vs denoiser) — the first thing to look at
         # when a recipe stalls (see CLAUDE.md round-1 findings)
         if isinstance(grads, dict):

@@ -48,9 +48,15 @@ def round_deadline(progress_path: str | None = None) -> float:
         # Live-updatable file override: the builder writes/updates this epoch
         # as it learns the window length; consumers re-read it on every check,
         # so a mid-run extension takes effect without restarting the process.
+        # A STALE file (epoch already well in the past — e.g. left over from a
+        # previous short driver window) is ignored, falling through to the
+        # PROGRESS heuristic: otherwise every future round's time_left() is
+        # permanently negative and no queue script ever starts (ADVICE r4).
         try:
             with open(os.path.join(os.path.dirname(_PROGRESS), ".deadline_epoch")) as f:
-                return float(f.read().strip())
+                epoch = float(f.read().strip())
+            if epoch > time.time() - 600.0:
+                return epoch
         except Exception:
             pass
     path = progress_path or _PROGRESS

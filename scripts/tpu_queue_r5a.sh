@@ -16,11 +16,30 @@
 set -u
 cd /root/repo
 mkdir -p runs/queue_logs
+echo $$ > /tmp/queue_r5.pid   # watchdog kills by THIS pid (never by pattern)
+
+# seconds until the driver's round cutoff (PROGRESS heuristic; stale
+# .deadline_epoch overrides are ignored by deadline.py as of round 5)
+left() {
+  env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python - <<'EOF'
+import sys
+sys.path.insert(0, "/root/repo")
+from diffassemble_tpu.utils.deadline import time_left
+print(int(time_left()))
+EOF
+}
 
 run() {
   local log="runs/queue_logs/$1"; shift
   local tries="$1"; shift
   for i in $(seq 1 "$tries"); do
+    local l; l=$(left)
+    if [ "$l" -le 4200 ]; then
+      # never CLAIM inside the 70-min pre-bench window: a grant (5-10 min)
+      # plus compile would land squarely on the driver's chip time
+      echo "[queue] $l s left — standing down before attempt: $*" | tee -a "$log"
+      return 1
+    fi
     echo "[queue $(date +%H:%M:%S)] attempt $i: $*" | tee -a "$log"
     if "$@" >>"$log" 2>&1; then
       echo "[queue $(date +%H:%M:%S)] ok: $*" | tee -a "$log"

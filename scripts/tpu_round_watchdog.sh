@@ -16,13 +16,18 @@ while :; do
   now=$(date +%s)
   left=$((deadline - now))
   if [ "$left" -le 3900 ]; then
-    qpid=$(cat /tmp/queue_r4.pid 2>/dev/null || true)
+    qpid=$(cat /tmp/queue_r5.pid 2>/dev/null || true)
     if [ -n "${qpid:-}" ] && kill -0 "$qpid" 2>/dev/null; then
       echo "[watchdog] $left s left: stopping queue $qpid and children"
-      for c in $(ps -o pid= --ppid "$qpid"); do kill "$c" 2>/dev/null; done
+      # capture the child list BEFORE killing the parent: once the parent is
+      # gone the children reparent to init and ps --ppid finds nothing
+      # (ADVICE r4), so a SIGTERM-ignoring claimant would survive into the
+      # bench window
+      kids=$(ps -o pid= --ppid "$qpid")
+      for c in $kids; do kill "$c" 2>/dev/null; done
       kill "$qpid" 2>/dev/null
       sleep 5
-      for c in $(ps -o pid= --ppid "$qpid" 2>/dev/null); do kill -9 "$c" 2>/dev/null; done
+      for c in $kids; do kill -9 "$c" 2>/dev/null; done
     else
       echo "[watchdog] $left s left: queue already stopped"
     fi
