@@ -86,7 +86,7 @@ def _supervise() -> int:
             cpu_env = dict(
                 env, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
                 BENCH_BATCH="1", BENCH_BATCH_TP="1", BENCH_EVAL_N="8",
-                BENCH_DEVICE_TAG="cpu-fallback",
+                BENCH_EVAL_TOTAL="8", BENCH_DEVICE_TAG="cpu-fallback",
             )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -126,8 +126,12 @@ def main() -> None:
 
     HW = (30, 30)
     BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # latency-optimal point
-    TP_BATCH = int(os.environ.get("BENCH_BATCH_TP", "32"))  # throughput point
-    EVAL_N = int(os.environ.get("BENCH_EVAL_N", str(max(BATCH, TP_BATCH))))
+    # throughput point: largest batch that fits, tried in descending order
+    # (VERDICT r4 weak #3 — at batch 32 the chip was >99.7% idle; the model is
+    # only ~17 GFLOP/puzzle so MFU needs batch, see results/RESULTS.md roofline)
+    TP_BATCH = int(os.environ.get("BENCH_BATCH_TP", "128"))
+    EVAL_N = int(os.environ.get("BENCH_EVAL_N", "32"))  # eval slice size
+    EVAL_TOTAL = int(os.environ.get("BENCH_EVAL_TOTAL", "64"))  # held-out corpus size
     NSAMP = max(BATCH, TP_BATCH, EVAL_N)
     N = HW[0] * HW[1]
 
@@ -202,6 +206,7 @@ def main() -> None:
     batch = make_batch(BATCH)
     params = model.init(jax.random.PRNGKey(0), batch)
     acc = None
+    eval_protocol = None
     if trained:
         from diffassemble_tpu.train.train_state import create_train_state
 
@@ -210,8 +215,48 @@ def main() -> None:
         if restored is not None:
             from diffassemble_tpu.train.train_state import eval_params
             params = eval_params(restored)
-            m = jax.jit(model.evaluate)(params, make_batch(EVAL_N), jax.random.PRNGKey(2))
-            acc = float(np.asarray(m["piece_acc"]).mean())
+            # ONE eval protocol (VERDICT r4 weak #4): the same 64-puzzle
+            # held-out corpus + rotation keys the training run's val evals use
+            # (scripts/tpu_train_device.py run_eval: img_seed = seed+1000,
+            # rot key fold_in(99, lo), sample key fold_in(7, lo)), so bench's
+            # piece_acc and the run's metrics.jsonl are directly comparable.
+            dj = os.path.join(ckpt_dir, "data.json")
+            if os.path.isfile(dj):
+                d = json.load(open(dj))
+                from diffassemble_tpu.data.datasets import SyntheticImages
+                from diffassemble_tpu.train.device_data import (
+                    build_device_data, gather_batch)
+                from diffassemble_tpu.train.metrics import (
+                    MeanMetrics, update_puzzle_metrics)
+
+                hw30 = (HW[0], HW[1])
+                imgs = SyntheticImages(
+                    (hw30[0] * 32, hw30[1] * 32), n=EVAL_TOTAL, seed=d.get("seed", 0) + 1000,
+                    cache=False, canonical=d.get("canonical", 0.5),
+                    hf_detail=d.get("hf_detail", 0.0), style=d.get("style", "default"),
+                )
+                eval_data = build_device_data(imgs, hw30, EVAL_TOTAL,
+                                              degree=d.get("degree", "10%"),
+                                              seed=d.get("seed", 0))
+                eval_fn = jax.jit(lambda p, b, k: model.metrics_from_final(
+                    model.sample(p, b, k).final, b))
+                agg = MeanMetrics()
+                for lo in range(0, EVAL_TOTAL, EVAL_N):
+                    idx = jnp.arange(lo, min(lo + EVAL_N, EVAL_TOTAL))
+                    eb = gather_batch(
+                        eval_data, idx,
+                        jax.random.fold_in(jax.random.PRNGKey(99), lo)
+                        if cfg.rotation else None)
+                    bm = eval_fn(params, eb, jax.random.fold_in(jax.random.PRNGKey(7), lo))
+                    update_puzzle_metrics(agg, bm, np.asarray(eb.patches_dim),
+                                          np.asarray(eb.node_mask))
+                m = agg.compute()
+                acc = float(m.get("overall__piece_acc", m.get("piece_acc", float("nan"))))
+                eval_protocol = f"heldout{EVAL_TOTAL}(seed+1000)"
+            else:
+                m = jax.jit(model.evaluate)(params, make_batch(EVAL_N), jax.random.PRNGKey(2))
+                acc = float(np.asarray(m["piece_acc"]).mean())
+                eval_protocol = f"seed123x{EVAL_N}"
         else:
             trained = False
 
@@ -267,15 +312,26 @@ def main() -> None:
     if mfu is not None:
         rec["mfu"] = round(mfu, 4)
     if TP_BATCH != BATCH:
-        tp_spp, tp_mfu, _ = measure(TP_BATCH)
-        rec["throughput_batch"] = TP_BATCH
-        rec["throughput_s_per_puzzle"] = round(tp_spp, 4)
-        rec["throughput_puzzles_per_s"] = round(1.0 / tp_spp, 2)
-        if tp_mfu is not None:
-            rec["throughput_mfu"] = round(tp_mfu, 4)
+        # largest batch that fits: 900-node puzzles at batch 128 can exceed
+        # HBM on smaller chips — fall back rather than fail the whole bench
+        for tb in sorted({TP_BATCH, 64, 32}, reverse=True):
+            if tb <= BATCH:
+                break
+            try:
+                tp_spp, tp_mfu, _ = measure(tb)
+            except Exception as e:
+                sys.stderr.write(f"[bench] throughput batch {tb} failed ({type(e).__name__}); trying smaller\n")
+                continue
+            rec["throughput_batch"] = tb
+            rec["throughput_s_per_puzzle"] = round(tp_spp, 4)
+            rec["throughput_puzzles_per_s"] = round(1.0 / tp_spp, 2)
+            if tp_mfu is not None:
+                rec["throughput_mfu"] = round(tp_mfu, 4)
+            break
     rec["trained_checkpoint"] = bool(trained)
     if acc is not None:
         rec["piece_acc"] = round(acc, 4)
+        rec["eval_protocol"] = eval_protocol
     rec["device"] = os.environ.get(
         "BENCH_DEVICE_TAG", (jax.devices()[0].device_kind or jax.default_backend())
     )

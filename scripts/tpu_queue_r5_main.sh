@@ -1,0 +1,128 @@
+#!/bin/bash
+# Round-5 main TPU queue (replaces the tail of tpu_queue_r5a.sh after its
+# job-1 3D run was skipped on a FAILED_PRECONDITION claim race — the old
+# 12:50 claimant was still exiting). Value order per VERDICT r4 "Next round":
+#
+#   1. 3D rel-pose cold run, FRESH dir (next #1). The dead-gradient tripwire
+#      (trainer.py) aborts + checkpoints if the step~550 freeze recurs, so a
+#      frozen run costs ~10 min and leaves the poisoned state for dissection.
+#   2. multisize calibration diagnostic (next #3).
+#   3. rel-supervised 3D pretrain -> warm 3D rel-pose run (next #1 recipe B).
+#   4. WikiArt-hardness pretrain + multisize table (next #5).
+#   5. 30x30 flagship resume WITH --ema_decay (next #6 + #8 upside).
+#   6. eval sweep (weak-#2 reconciliation).
+#
+# Transient-retry includes FAILED_PRECONDITION (claim races) — NOT the
+# DeadGradientError abort, which must skip to the next job.
+set -u
+cd /root/repo
+mkdir -p runs/queue_logs weights
+echo $$ > /tmp/queue_r5.pid   # the round watchdog governs THIS pid now
+
+# wait for the inherited discrete_rot job (pid in /tmp/tpu_job.pid) to finish
+prev=$(cat /tmp/tpu_job.pid 2>/dev/null || true)
+if [ -n "${prev:-}" ]; then
+  echo "[queue $(date +%H:%M:%S)] waiting for running TPU job (pid $prev)"
+  while kill -0 "$prev" 2>/dev/null; do sleep 30; done
+  echo "[queue $(date +%H:%M:%S)] previous TPU job done"
+  sleep 30   # let the relay see the release before the next claim
+fi
+
+left() {
+  env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python - <<'EOF'
+import sys
+sys.path.insert(0, "/root/repo")
+from diffassemble_tpu.utils.deadline import time_left
+print(int(time_left()))
+EOF
+}
+
+run() {
+  local log="runs/queue_logs/$1"; shift
+  local tries="$1"; shift
+  for i in $(seq 1 "$tries"); do
+    local l; l=$(left)
+    if [ "$l" -le 4200 ]; then
+      echo "[queue] ${l}s left — standing down before attempt: $*" | tee -a "$log"
+      return 1
+    fi
+    echo "[queue $(date +%H:%M:%S)] attempt $i: $*" | tee -a "$log"
+    if "$@" >>"$log" 2>&1; then
+      echo "[queue $(date +%H:%M:%S)] ok: $*" | tee -a "$log"
+      return 0
+    fi
+    if tail -50 "$log" | grep -q "UNAVAILABLE\|Unable to initialize backend\|FAILED_PRECONDITION"; then
+      echo "[queue] backend unavailable/claim race; retrying in 60s" | tee -a "$log"
+      sleep 60
+    else
+      echo "[queue] non-transient failure; see $log" | tee -a "$log"
+      return 1
+    fi
+  done
+  echo "[queue] exhausted retries: $*" | tee -a "$log"
+  return 1
+}
+
+run 3d-relpose-r5.log 10 python -m diffassemble_tpu.cli.train_3d \
+  --dataset synthetic --run_dir runs/quality-3d-relpose-r5 \
+  --backbone vn_dgcnn_rich --max_steps 8000 --batch_size 16 \
+  --num_points 256 --max_num_part 8 --min_num_part 2 \
+  --rel_pose_weight 0.5 --rel_condition 1 --contact_thresh 0.1 \
+  --aux_pose_weight 0.5 --rot_pt_l2_weight 1.0 \
+  --wall_detail 0.06 --wall_boost 2 --synthetic_canonical 0.6 \
+  --train_n 1536 --test_n 64 --deadline_margin 3900
+
+run diag-multisize.log 4 python scripts/tpu_diag_multisize_calib.py
+
+run rel-pretrain.log 6 python scripts/tpu_pretrain_encoder_3d_rel.py \
+  --backbone vn_dgcnn_rich --steps 6000 --eval_every 500 \
+  --num_points 256 --max_num_part 8 --min_num_part 2 \
+  --train_objects 1536 --test_objects 64 --batch_size 16 \
+  --canonical 0.6 --wall_detail 0.06 --wall_boost 2 \
+  --out weights/vn_dgcnn_rich_rel3d.npz --deadline_margin 3900
+
+if [ -f weights/vn_dgcnn_rich_rel3d.npz ]; then
+  run 3d-relpose-warm.log 6 python -m diffassemble_tpu.cli.train_3d \
+    --dataset synthetic --run_dir runs/quality-3d-relpose-warm \
+    --backbone vn_dgcnn_rich --max_steps 8000 --batch_size 16 \
+    --num_points 256 --max_num_part 8 --min_num_part 2 \
+    --rel_pose_weight 0.5 --rel_condition 1 --contact_thresh 0.1 \
+    --aux_pose_weight 0.5 --rot_pt_l2_weight 1.0 \
+    --wall_detail 0.06 --wall_boost 2 --synthetic_canonical 0.6 \
+    --encoder_init weights/vn_dgcnn_rich_rel3d.npz \
+    --train_n 1536 --test_n 64 --deadline_margin 3900
+fi
+
+run art-pretrain.log 3 python scripts/tpu_pretrain_encoder.py \
+  --backbone resnet18equiv --hw 6 --style art --canonical 0.1 \
+  --steps 6000 --train_n 2000
+
+run art-multisize.log 3 python scripts/tpu_train_device.py \
+  --run_dir runs/quality-art-ms --hw 6 8 10 12 --rotation 1 \
+  --backbone resnet18equiv --architecture exophormer --degree -1 \
+  --style art --canonical 0.1 --batch_size 16 --train_n 4000 --eval_n 64 \
+  --aux_loss_weight 0.1 --warmup_steps 500 \
+  --encoder_init weights/resnet18equiv_pose6art.npz \
+  --max_steps 12000 --eval_every 1500 --eval_batch 16
+
+run 900c-resume.log 4 python scripts/tpu_train_device.py \
+  --run_dir runs/quality-900c --hw 30 --rotation 1 \
+  --backbone efficientnet_b0 --architecture exophormer --degree 10% \
+  --virt_nodes 8 --n_layers 4 --batch_size 32 --train_n 1536 --eval_n 64 \
+  --canonical 0.8 --hf_detail 0.25 --aux_loss_weight 0.1 \
+  --encoder_init weights/efficientnet_b0_pose30hf.npz --warmup_steps 500 \
+  --ema_decay 0.999 \
+  --max_steps 54000 --eval_every 2000 --eval_batch 32
+
+if [ -d runs/quality-900c/checkpoints ]; then
+  rm -rf weights/diffusion2d_rot30.new
+  cp -r runs/quality-900c/checkpoints weights/diffusion2d_rot30.new \
+    && rm -rf weights/diffusion2d_rot30 \
+    && mv weights/diffusion2d_rot30.new weights/diffusion2d_rot30
+  echo "[queue] durable 900c checkpoint refreshed"
+fi
+
+run eval-sweep.log 2 python scripts/tpu_eval_sweep.py \
+  --ckpt runs/quality-900c/checkpoints --ratios 10 --eval_n 64 --batch 8
+
+echo "[queue $(date +%H:%M:%S)] queue done"
