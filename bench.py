@@ -264,12 +264,16 @@ def main() -> None:
     def run(params, batch, key):
         return model.sample(params, batch, key).final
 
-    # bf16 peak FLOP/s by device kind (VERDICT r2 weak #7: don't assume v5e)
+    # bf16 peak FLOP/s and HBM GB/s by device kind (VERDICT r2 weak #7)
     kind = (jax.devices()[0].device_kind or "").lower()
     peaks = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12,
              "v6e": 918e12, "v6 lite": 918e12, "v3": 123e12}
+    hbm_bw = {"v5 lite": 819e9, "v5e": 819e9, "v5p": 2765e9, "v4": 1228e9,
+              "v6e": 1640e9, "v6 lite": 1640e9, "v3": 900e9}
     peak = next((v for k, v in peaks.items() if k in kind),
                 197e12 if jax.default_backend() == "tpu" else None)
+    bw = next((v for k, v in hbm_bw.items() if k in kind),
+              819e9 if jax.default_backend() == "tpu" else None)
 
     def measure(bs):
         """(s/puzzle, mfu, gflops) for one full sampler call at batch bs.
@@ -287,18 +291,24 @@ def main() -> None:
             t0 = time.perf_counter()
             run(params, b, k).block_until_ready()
             times.append(time.perf_counter() - t0)
-        mfu = flops = None
+        mfu = flops = mbu = None
         try:
             ca = compiled.cost_analysis()
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
             flops = float(ca.get("flops", 0.0))
             if flops > 0 and peak:
                 mfu = flops / min(times) / peak
+            # memory-bandwidth utilization — the roofline's other axis
+            # (results/RESULTS.md: the N=900 sampler is too small to feed the
+            # MXU; MBU shows how close it runs to the HBM bound instead)
+            nbytes = float(ca.get("bytes accessed", 0.0))
+            if nbytes > 0 and bw:
+                mbu = nbytes / min(times) / bw
         except Exception:
             pass
-        return min(times) / bs, mfu, flops
+        return min(times) / bs, mfu, flops, mbu
 
-    s_per_puzzle, mfu, flops = measure(BATCH)
+    s_per_puzzle, mfu, flops, mbu = measure(BATCH)
     rec = {
         "metric": "celeba_30x30_sampling_latency",
         "value": round(s_per_puzzle, 4),
@@ -311,6 +321,8 @@ def main() -> None:
         rec["sampler_gflops"] = round(flops / 1e9, 1)
     if mfu is not None:
         rec["mfu"] = round(mfu, 4)
+    if mbu is not None:
+        rec["mbu"] = round(mbu, 4)
     if TP_BATCH != BATCH:
         # largest batch that fits: 900-node puzzles at batch 128 can exceed
         # HBM on smaller chips — fall back rather than fail the whole bench
@@ -318,7 +330,7 @@ def main() -> None:
             if tb <= BATCH:
                 break
             try:
-                tp_spp, tp_mfu, _ = measure(tb)
+                tp_spp, tp_mfu, _, tp_mbu = measure(tb)
             except Exception as e:
                 sys.stderr.write(f"[bench] throughput batch {tb} failed ({type(e).__name__}); trying smaller\n")
                 continue
@@ -327,6 +339,8 @@ def main() -> None:
             rec["throughput_puzzles_per_s"] = round(1.0 / tp_spp, 2)
             if tp_mfu is not None:
                 rec["throughput_mfu"] = round(tp_mfu, 4)
+            if tp_mbu is not None:
+                rec["throughput_mbu"] = round(tp_mbu, 4)
             break
     rec["trained_checkpoint"] = bool(trained)
     if acc is not None:
