@@ -93,6 +93,10 @@ if [ -f weights/vn_dgcnn_rich_rel3d.npz ]; then
     --train_n 1536 --test_n 64 --deadline_margin 3900
 fi
 
+run discrete-rot-full.log 6 python scripts/tpu_train_variants.py \
+  --variants discrete_rot --hw 6 --run_suffix b \
+  --max_steps 12000 --eval_every 1000 --batch_size 32
+
 run art-pretrain.log 3 python scripts/tpu_pretrain_encoder.py \
   --backbone resnet18equiv --hw 6 --style art --canonical 0.1 \
   --steps 6000 --train_n 2000
@@ -104,6 +108,14 @@ run art-multisize.log 3 python scripts/tpu_train_device.py \
   --aux_loss_weight 0.1 --warmup_steps 500 \
   --encoder_init weights/resnet18equiv_pose6art.npz \
   --max_steps 12000 --eval_every 1500 --eval_batch 16
+
+# Fresh machine each round: runs/ is gitignored and empty, so "resume" must
+# be seeded from the durable committed checkpoint or it restarts at step 0.
+if [ ! -d runs/quality-900c/checkpoints ] && [ -d weights/diffusion2d_rot30 ]; then
+  mkdir -p runs/quality-900c
+  cp -r weights/diffusion2d_rot30 runs/quality-900c/checkpoints
+  echo "[queue] seeded runs/quality-900c/checkpoints from weights/diffusion2d_rot30"
+fi
 
 run 900c-resume.log 4 python scripts/tpu_train_device.py \
   --run_dir runs/quality-900c --hw 30 --rotation 1 \
