@@ -79,6 +79,9 @@ def add_3d_args(ap: argparse.ArgumentParser) -> None:
                     help="points sampled per part (reference --num_points)")
     ap.add_argument("--ema_decay", type=float, default=0.0,
                     help="EMA of params for eval (0 = off, reference parity)")
+    ap.add_argument("--warmup_steps", type=int, default=500,
+                    help="linear LR warmup (0 = reference parity; default on "
+                         "— the step-500 VN-collapse post-mortem, vn.py)")
     ap.add_argument("--deadline_margin", type=float, default=None,
                     help="wind down this many seconds before the build "
                          "driver's round cutoff (utils/deadline.py)")
@@ -109,6 +112,7 @@ def build_3d(args):
         rel_pose_weight=args.rel_pose_weight,
         rel_condition=bool(args.rel_condition),
         contact_thresh=args.contact_thresh,
+        warmup_steps=getattr(args, "warmup_steps", 0),
     )
     model = Diffusion3D(cfg)
     train_ds, test_ds, cats = get_dataset_3d(

@@ -101,6 +101,10 @@ class Diffusion3DConfig:
     contact_thresh: float = 0.1
     rel_k: int = 16
     compute_dtype: str = "float32"
+    # Linear LR warmup steps. 0 reproduces the reference (no warmup); the 2D
+    # recipe's warmup lesson applies here too — full-size first adafactor
+    # steps drive VN directions toward collapse (step-500 freeze post-mortem)
+    warmup_steps: int = 0
     attention_impl: str = "auto"  # xla | pallas | auto
     remat: bool = False
 
@@ -465,6 +469,15 @@ class Diffusion3D:
         `transformers.Adafactor()` defaults (spatial_diffusion.py:701-705):
         lr_t = min(1e-2, 1/sqrt(t)), scaled by the parameter RMS. optax's
         adafactor with learning_rate=None applies RAW unit-RMS updates (which
-        diverges); the explicit schedule below reproduces the HF behavior."""
-        schedule = lambda step: jnp.minimum(1e-2, 1.0 / jnp.sqrt(jnp.maximum(step, 1.0)))
+        diverges); the explicit schedule below reproduces the HF behavior.
+        `warmup_steps` > 0 ramps the schedule linearly from 0 (see the config
+        field's comment; resumes past the ramp are unaffected)."""
+        warmup = self.cfg.warmup_steps
+
+        def schedule(step):
+            lr = jnp.minimum(1e-2, 1.0 / jnp.sqrt(jnp.maximum(step, 1.0)))
+            if warmup > 0:
+                lr = lr * jnp.minimum(1.0, step / warmup)
+            return lr
+
         return optax.adafactor(learning_rate=schedule, multiply_by_parameter_scale=True)

@@ -53,7 +53,15 @@ def _vn_leaky(p: jnp.ndarray, d: jnp.ndarray, negative_slope: float = 0.2) -> jn
     """Direction-gated leaky ReLU on vector features (vn_layers.py:36-48)."""
     dot = jnp.sum(p * d, axis=-1, keepdims=True)
     d_norm_sq = jnp.sum(d * d, axis=-1, keepdims=True)
-    reflected = p - (dot / (d_norm_sq + _EPS)) * d
+    # Scale-aware floor on the denominator: the quotient's FORWARD is bounded
+    # (it is 0-homogeneous in d) but its backward w.r.t. d scales as 1/‖d‖,
+    # which at collapsed directions produced ~1e20-finite/NaN grads that
+    # killed the r4/r5 3D rel-pose runs at step ~500 (ckpt-501 post-mortem:
+    # NaN grads confined to VNLinearLeakyReLU_0/1). Flooring at 1e-3× the
+    # mean channel energy bounds the amplification at ~√1000/‖d_typ‖ while
+    # staying ~exactly homogeneous for healthy d.
+    floor = 1e-3 * jnp.mean(d_norm_sq, axis=-2, keepdims=True) + _EPS
+    reflected = p - (dot / (d_norm_sq + floor)) * d
     gated = jnp.where(dot >= 0, p, reflected)
     return negative_slope * p + (1 - negative_slope) * gated
 
@@ -88,10 +96,26 @@ class VNNorm(nn.Module):
         mu = jnp.mean(norm, axis=axes, keepdims=True)
         var = jnp.var(norm, axis=axes, keepdims=True)
         std = (norm - mu) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        # Soft-bound the gain: bf16 quantization makes degenerate norm
+        # distributions (var≈0 with a lone outlier) common, where std spikes
+        # toward √N_pooled (≈64 for 256pts×16nbrs) and compounding layer
+        # gains exploded the 3D forward to ~1e5 loss (step-500 r4/r5 freeze,
+        # ckpt-501 post-mortem). tanh cap at 16 perturbs the healthy |std|≤3
+        # regime by ≤1% and leaves trained checkpoints eval-compatible.
+        std = 16.0 * jnp.tanh(std / 16.0)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         target = std * scale[:, None].astype(x.dtype) + bias[:, None].astype(x.dtype)
-        return x / norm * target
+        # Scale-aware floor on the rescale denominator (same pattern as
+        # _vn_leaky): d(x/norm)/dx amplifies by 1/norm, up to 1/ε=1e6 for the
+        # exact-duplicate edge vectors layer 0 routinely sees — which, times
+        # the exploded-loss cotangents, is where the ckpt-501 NaN was BORN
+        # (NaN at map_to_feat.kernel but finite at this layer's scale/bias:
+        # the only ops in between are this quotient and the norm-sqrt).
+        # Near-zero vectors now get output magnitude |target|·norm/floor <
+        # |target| instead of noise amplified to full target magnitude.
+        denom = norm + 1e-3 * mu + _EPS
+        return x / denom * target
 
 
 class VNLinearLeakyReLU(nn.Module):

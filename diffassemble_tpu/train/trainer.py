@@ -352,7 +352,7 @@ class Trainer:
             if hasattr(self.model, "norm_stats") or prev_stats is not None:
                 self.model.norm_stats = prev_stats
         metrics = agg.compute()
-        self.logger.log(-1, {f"{tag}/{k}": v for k, v in metrics.items()})
+        self.logger.log(step, {f"{tag}/{k}": v for k, v in metrics.items()})
         return metrics
 
     def _save_viz(self, nb, final: np.ndarray, tag: str, step: int) -> None:

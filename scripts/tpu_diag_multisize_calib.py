@@ -73,7 +73,11 @@ def main():
 
     out = {"run": RUN, "config_backbone": cfg.backbone, "results": []}
     for step in STEPS:
-        restored = ckpt.restore(state_t, step=step)
+        try:
+            restored = ckpt.restore(state_t, step=step)
+        except Exception as e:  # orbax raises (not None) for a missing step
+            tick(f"step {step}: restore failed ({type(e).__name__}), skipping")
+            continue
         if restored is None:
             tick(f"step {step}: checkpoint missing, skipping")
             continue

@@ -99,6 +99,10 @@ def run_variant(variant, args, data, eval_data):
     opt = model.make_optimizer()
     state = create_train_state(params, opt, jax.random.PRNGKey(args.seed + 1))
     ckpt = CheckpointManager(f"{run_dir}/checkpoints", "overall__piece_acc", "max")
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        tick(f"resumed from checkpoint step {int(state.step)}")
     ckpt.save_config(model.cfg)
     logger = JsonlLogger(run_dir)
 

@@ -174,8 +174,11 @@ def test_vn_rich_pooling_equivariance():
     g = f[:, :1536].reshape(2, 512, 3)
     g2 = f2[:, :1536].reshape(2, 512, 3)
     g_exp = jnp.einsum("bvw,bcw->bcv", m, g)
-    assert jnp.abs(g2 - g_exp).max() < 2e-3, "equivariant slice broke"
-    assert jnp.abs(f2[:, 1536:] - f[:, 1536:]).max() < 2e-3, "invariant slice moved"
+    # 5e-3: the VNNorm rescale floor (r5 NaN fix) adds ~1e-4 mean numeric
+    # noise on O(1) features; equivariance is exact in infinite precision
+    # (norm, mu, var are all rotation-invariant)
+    assert jnp.abs(g2 - g_exp).max() < 5e-3, "equivariant slice broke"
+    assert jnp.abs(f2[:, 1536:] - f[:, 1536:]).max() < 5e-3, "invariant slice moved"
 
 
 def test_encoder_init_loads_relpose_subtree(tmp_path):
@@ -256,3 +259,82 @@ def test_diffusion3d_rel_rich_backbone():
     assert jnp.isfinite(total)
     gn = sum(float(jnp.sum(x ** 2)) for x in jax.tree.leaves(grads["relpose"]))
     assert gn > 0
+
+
+def test_vnnorm_degenerate_distribution_bounded():
+    """ckpt-501 post-mortem regression (r5): bf16 quantization produces
+    degenerate norm distributions (identical norms + one outlier) where the
+    standardized gain spikes toward sqrt(N_pooled); the tanh soft-bound must
+    cap the output and keep grads finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffassemble_tpu.nn.vn import VNNorm
+
+    n, c = 256, 8
+    x = jnp.ones((1, n, c, 3)) * 0.1
+    x = x.at[0, 0].set(100.0)  # lone outlier → (norm-mu)/sqrt(var) ≈ sqrt(N)
+    m = VNNorm(point_axes=(-3,))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    # scale=1, bias=0 at init → |out| per vector ≤ cap·1 + 0 (cap=16), not ~sqrt(256)=16·4
+    norms = jnp.linalg.norm(out, axis=-1)
+    assert float(norms.max()) <= 16.0 * 1.01, float(norms.max())
+    g = jax.grad(lambda p: m.apply(p, x).sum())(params)
+    assert all(bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(g))
+
+
+def test_vnnorm_near_zero_vectors_backward_bounded():
+    """The rescale x/norm amplifies backward by 1/norm (up to 1/ε=1e6 at the
+    exact-duplicate edge vectors layer 0 sees); with exploded-loss cotangents
+    that overflowed f32 — the actual NaN birthplace of the r4/r5 step-500
+    freeze (ckpt-501: NaN at map_to_feat.kernel, finite at VNNorm scale/bias).
+    The scale-aware denominator floor must bound the amplification."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffassemble_tpu.nn.vn import VNNorm
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 64, 8, 3)).astype(np.float32))
+    x = x.at[0, :4].set(1e-9)  # near-duplicate edge vectors
+
+    m = VNNorm(point_axes=(-3,))
+    params = m.init(jax.random.PRNGKey(0), x)
+
+    def f(xx):
+        # huge cotangent: mimic an exploded downstream loss (~1e5 scale)
+        return jnp.sum(m.apply(params, xx)) * 1e5
+
+    g = jax.grad(f)(x)
+    assert bool(jnp.isfinite(g).all())
+    # bounded: 1e-3·mean-norm floor admits ≤ ~1e3/‖x_typ‖ amplification;
+    # with cotangent 1e5 that is ≪ f32 max, not the old 1e6·1e5 regime
+    assert float(jnp.abs(g).max()) < 1e11, float(jnp.abs(g).max())
+
+
+def test_vn_leaky_collapsed_direction_grads_bounded():
+    """The direction quotient's backward scales as 1/‖d‖ — at collapsed d
+    (the step-500 kill mode) the scale-aware floor must keep grads finite
+    AND bounded (not 1e20-finite, which overflowed the f32 global norm)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffassemble_tpu.nn.vn import _vn_leaky
+
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.normal(size=(4, 8, 3)).astype(np.float32))
+
+    for d_scale in (0.0, 1e-12, 1e-6, 1e-3):
+        d = jnp.asarray(rng.normal(size=(4, 8, 3)).astype(np.float32)) * d_scale
+
+        def f(pd):
+            pp, dd = pd
+            return _vn_leaky(pp, dd).sum()
+
+        g_p, g_d = jax.grad(f)((p, d))
+        assert bool(jnp.isfinite(g_p).all()) and bool(jnp.isfinite(g_d).all()), d_scale
+        # bounded: the floor admits at most ~sqrt(1e3)·‖p‖/‖d_typ‖ amplification
+        assert float(jnp.abs(g_d).max()) < 1e7, (d_scale, float(jnp.abs(g_d).max()))
