@@ -13,6 +13,7 @@
 set -u
 cd /root/repo
 mkdir -p runs/queue_logs weights
+echo $$ > /tmp/queue_r5e.pid
 
 prev=$(cat /tmp/tpu_job.pid 2>/dev/null || true)
 if [ -n "${prev:-}" ]; then
@@ -140,6 +141,28 @@ if [ -d runs/quality-3d-relpose-fix/checkpoints ]; then
     && rm -rf weights/diffusion3d_relpose \
     && mv weights/diffusion3d_relpose.new weights/diffusion3d_relpose
   echo "[queue] durable 3D rel-pose ckpt refreshed"
+fi
+
+# 3b. 3D decodability demonstration: high-canonical corpus (the 2D round-2
+# lesson — 44.6%->96.3% on the data fix alone. If part_acc stays 0 at
+# canonical 0.6 because absolute pose is geometrically undecodable, show the
+# pipeline places parts inside the CD<0.01 gate when the data permits.)
+run 3d-easy.log 4 python -m diffassemble_tpu.cli.train_3d \
+  --dataset synthetic --run_dir runs/quality-3d-easy \
+  --backbone vn_dgcnn_rich --max_steps 8000 --batch_size 16 \
+  --num_points "$NPTS" --max_num_part 8 --min_num_part 2 \
+  --rel_pose_weight 0.5 --rel_condition 1 --contact_thresh 0.1 \
+  --aux_pose_weight 0.5 --rot_pt_l2_weight 1.0 \
+  --wall_detail 0.08 --wall_boost "$WBOOST" --synthetic_canonical 0.9 \
+  --encoder_init "$INIT" \
+  --train_n 1536 --test_n 64 --deadline_margin 3900
+
+if [ -d runs/quality-3d-easy/checkpoints ]; then
+  rm -rf weights/diffusion3d_easy.new
+  cp -r runs/quality-3d-easy/checkpoints weights/diffusion3d_easy.new \
+    && rm -rf weights/diffusion3d_easy \
+    && mv weights/diffusion3d_easy.new weights/diffusion3d_easy
+  echo "[queue] durable 3D easy ckpt refreshed"
 fi
 
 # 4. WikiArt-hardness table
