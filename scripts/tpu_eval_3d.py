@@ -54,6 +54,12 @@ def main():
                     default=[0.01, 0.02, 0.05, 0.1, 0.2])
     ap.add_argument("--canonical", type=float, default=0.6)
     ap.add_argument("--max_num_part", type=int, default=20)
+    ap.add_argument("--min_num_part", type=int, default=2)
+    ap.add_argument("--num_points", type=int, default=1000,
+                    help="points sampled per part (match the training corpus)")
+    ap.add_argument("--wall_detail", type=float, default=0.0,
+                    help="fracture-wall saliency (match the training corpus)")
+    ap.add_argument("--wall_boost", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="results/diagnostics/eval3d_vndgcnn.json")
     args = ap.parse_args()
@@ -65,7 +71,9 @@ def main():
     # Same held-out split as the training CLI (cli/train_3d.py defaults).
     _, test_ds, cats = get_dataset_3d(
         "synthetic", train_n=4, test_n=args.test_n, max_num_part=args.max_num_part,
+        min_num_part=args.min_num_part, num_points=args.num_points,
         seed=args.seed, canonical=args.canonical, voronoi=True,
+        wall_detail=args.wall_detail, wall_boost=args.wall_boost,
     )
     tick(f"devices={jax.devices()} test_n={len(test_ds)} cats={cats}")
 
