@@ -238,7 +238,9 @@ def main():
                         gt_rot=np.asarray(eb.x0[i])[vm, 2:4] if rotation else None,
                     )
         m = agg.compute()
-        logger.log(-1, {f"{tag}/{k}": v for k, v in m.items()})
+        # log at the real step (late-bound closure; r5 trainer parity) so
+        # eval rows in metrics.jsonl are attributable without timestamp math
+        logger.log(step, {f"{tag}/{k}": v for k, v in m.items()})
         return m
 
     step = int(state.step)

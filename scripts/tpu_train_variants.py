@@ -127,7 +127,9 @@ def run_variant(variant, args, data, eval_data):
             bm = eval_fn(p, eb, jax.random.fold_in(jax.random.PRNGKey(7), lo))
             update_puzzle_metrics(agg, bm, np.asarray(eb.patches_dim), np.asarray(eb.node_mask))
         m = agg.compute()
-        logger.log(-1, {f"{tag}/{k}": v for k, v in m.items()})
+        # log at the real step (late-bound closure; r5 trainer parity) so
+        # eval rows in metrics.jsonl are attributable without timestamp math
+        logger.log(step, {f"{tag}/{k}": v for k, v in m.items()})
         return m
 
     from diffassemble_tpu.utils.deadline import time_left
