@@ -138,19 +138,52 @@ def main():
             cd = per_part_cd(batch.pcds, pred_t, gt_t, pred_q, gt_q)
             gd = so3.geodesic_distance_rmat(
                 so3.quaternion_to_matrix(pred_q), so3.quaternion_to_matrix(gt_q))
+
+            # --- gauge-aligned diagnostic (NOT the parity metric): remove the
+            # best single global SE(3) per object before re-measuring. If the
+            # aligned errors collapse far below the absolute ones, the
+            # residual error is a global-frame ambiguity of the synthetic
+            # corpus (the assembly is internally right but globally rotated),
+            # not a relational failure. Procrustes: R0 = proj_SO3(Σ_i gt_R_i
+            # pred_R_iᵀ), t0 = mean(gt_t) − R0·mean(pred_t).
+            hp = jax.lax.Precision.HIGHEST
+            pred_R = so3.quaternion_to_matrix(pred_q)
+            gt_R = so3.quaternion_to_matrix(gt_q)
+            w = v.astype(pred_R.dtype)
+            M = jnp.einsum("bp,bpij,bpkj->bik", w, gt_R, pred_R, precision=hp)
+            U, _, Vt = jnp.linalg.svd(M)
+            det = jnp.linalg.det(jnp.einsum("bij,bjk->bik", U, Vt, precision=hp))
+            D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], -1)
+            R0 = jnp.einsum("bij,bj,bjk->bik", U, D, Vt, precision=hp)
+            nv = jnp.sum(w, axis=1, keepdims=True) + 1e-9
+            mean_gt = jnp.sum(gt_t * w[..., None], axis=1) / nv
+            mean_pr = jnp.sum(pred_t * w[..., None], axis=1) / nv
+            t0 = mean_gt - jnp.einsum("bij,bj->bi", R0, mean_pr, precision=hp)
+            a_t = jnp.einsum("bij,bpj->bpi", R0, pred_t, precision=hp) + t0[:, None]
+            a_R = jnp.einsum("bij,bpjk->bpik", R0, pred_R, precision=hp)
+            a_q = so3.matrix_to_quaternion(a_R)
+            cd_a = per_part_cd(batch.pcds, a_t, gt_t, a_q, gt_q)
+            gd_a = so3.geodesic_distance_rmat(a_R, gt_R)
+
             return {
                 "cd": cd, "gd": gd, "v": v,
                 "rmse_t": losses_3d.trans_rmse(pred_t, gt_t, v),
                 "rmse_r": losses_3d.rot_euler_rmse(pred_q, gt_q, v),
+                "cd_a": cd_a, "gd_a": gd_a,
+                "rmse_t_a": losses_3d.trans_rmse(a_t, gt_t, v),
             }
 
         cds, gds, rts, rrs = [], [], [], []
+        cdas, gdas, rtas = [], [], []
         for b in batches:
             r = jax.device_get(run(params, b))
             mask = r["v"].astype(bool)
             cds.append(r["cd"][mask]); gds.append(r["gd"][mask])
             rts.append(r["rmse_t"]); rrs.append(r["rmse_r"])
+            cdas.append(r["cd_a"][mask]); gdas.append(r["gd_a"][mask])
+            rtas.append(r["rmse_t_a"])
         cd = np.concatenate(cds); gd = np.concatenate(gds)
+        cd_a = np.concatenate(cdas); gd_a = np.concatenate(gdas)
         row = {
             "ratio": ratio, "reverse_steps": cfg.steps // ratio,
             "n_parts": int(cd.size),
@@ -160,6 +193,13 @@ def main():
             "part_acc": {str(t): float((cd < t).mean()) for t in args.thresholds},
             "cd_percentiles": {str(p): float(np.percentile(cd, p))
                                for p in (5, 10, 25, 50, 75, 90)},
+            # diagnostic, not the parity metric — see the comment in run()
+            "gauge_aligned": {
+                "gd_r": float(gd_a.mean()),
+                "rmse_t": float(np.mean(np.asarray(rtas, dtype=np.float64))),
+                "part_acc": {str(t): float((cd_a < t).mean()) for t in args.thresholds},
+                "cd_median": float(np.median(cd_a)),
+            },
         }
         tick(json.dumps(row))
         out_rows.append(row)
