@@ -207,6 +207,10 @@ class VN_DGCNN(nn.Module):
     # at 1.90 — the mean washes out localized fracture-wall signal
     # (results/RESULTS.md round 4).
     pool: str = "mean"
+    # also return per-point rotation-invariant descriptors (channel norms of
+    # the pre-pooling VN features) — the correspondence pathway's input
+    # (nn/correspondence.py); the pooled output is unchanged
+    return_points: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -233,6 +237,13 @@ class VN_DGCNN(nn.Module):
         h = VNLinearLeakyReLU(
             self.feat_dim, share_nonlinearity=True, point_axes=(-3,), dtype=self.dtype
         )(x123)  # (B, N, feat, 3)
+        point_desc = None
+        if self.return_points:
+            # per-point INVARIANT descriptor: channel norms of the localized
+            # multi-scale VN features (the h_mean bank is constant across
+            # points and carries no localization, so it is excluded)
+            loc = jnp.concatenate([x123, h], axis=-2)  # (B, N, 63+feat, 3)
+            point_desc = jnp.sqrt(jnp.sum(loc * loc, axis=-1) + _EPS**2)
         h_mean = jnp.broadcast_to(h.mean(axis=1, keepdims=True), h.shape)
         h = jnp.concatenate([h, h_mean], axis=-2)  # (B, N, 2·feat, 3)
         pooled = h.mean(axis=1)  # global mean pool over points → (B, 2·feat, 3)
@@ -265,12 +276,14 @@ class VN_DGCNN(nn.Module):
 
         if self.invariant:
             x_std, _ = VNStdFeature(dtype=self.dtype)(h)
-            return x_std.mean(axis=-1)  # (B, 2·feat) rotation-invariant
-        if self.both:
+            out = x_std.mean(axis=-1)  # (B, 2·feat) rotation-invariant
+        elif self.both:
             x_std, _ = VNStdFeature(dtype=self.dtype)(h)
             inv = x_std.mean(axis=-1)  # (B, 2·feat)
-            return jnp.concatenate([h.reshape(b, -1), inv], axis=-1)  # (B, 8·feat)
-        return h.reshape(b, -1)  # (B, 2·feat·3) equivariant
+            out = jnp.concatenate([h.reshape(b, -1), inv], axis=-1)  # (B, 8·feat)
+        else:
+            out = h.reshape(b, -1)  # (B, 2·feat·3) equivariant
+        return (out, point_desc) if self.return_points else out
 
     @property
     def output_dim(self) -> int:
