@@ -206,12 +206,23 @@ def main() -> None:
     batch = make_batch(BATCH)
     params = model.init(jax.random.PRNGKey(0), batch)
     acc = None
+    puzzle_acc = None
+    ckpt_step = None
     eval_protocol = None
     if trained:
         from diffassemble_tpu.train.train_state import create_train_state
 
         state = create_train_state(params, model.make_optimizer(), jax.random.PRNGKey(0))
-        restored = ckpt.restore(state)
+        # Prefer the best monitored checkpoint over the merely-latest one:
+        # long resumes oscillate at the puzzle level (900c-resume r5: piece
+        # 0.9996@32k then 0.9964@36k), and the durable artifact should report
+        # the checkpoint a user would actually deploy.
+        try:
+            best = ckpt.best_step()
+        except Exception:
+            best = None
+        ckpt_step = best if best is not None else ckpt.latest_step()
+        restored = ckpt.restore(state, step=ckpt_step)
         if restored is not None:
             from diffassemble_tpu.train.train_state import eval_params
             params = eval_params(restored)
@@ -252,6 +263,7 @@ def main() -> None:
                                           np.asarray(eb.node_mask))
                 m = agg.compute()
                 acc = float(m.get("overall__piece_acc", m.get("piece_acc", float("nan"))))
+                puzzle_acc = float(m.get("overall_acc", float("nan")))
                 eval_protocol = f"heldout{EVAL_TOTAL}(seed+1000)"
             else:
                 m = jax.jit(model.evaluate)(params, make_batch(EVAL_N), jax.random.PRNGKey(2))
@@ -346,6 +358,10 @@ def main() -> None:
     if acc is not None:
         rec["piece_acc"] = round(acc, 4)
         rec["eval_protocol"] = eval_protocol
+    if puzzle_acc is not None and puzzle_acc == puzzle_acc:
+        rec["puzzle_acc"] = round(puzzle_acc, 4)
+    if ckpt_step is not None:
+        rec["ckpt_step"] = int(ckpt_step)
     rec["device"] = os.environ.get(
         "BENCH_DEVICE_TAG", (jax.devices()[0].device_kind or jax.default_backend())
     )

@@ -110,7 +110,39 @@ class CorrespondencePairs(nn.Module):
         wm = jnp.mean(w, axis=-1, keepdims=True)  # (B, P, P, 1)
         conf = nn.Dense(1, name="conf",
                         bias_init=nn.initializers.constant(-1.0))(wm)[..., 0]
-        return {"y": y, "p": pts_m.astype(jnp.float32), "w": w, "conf": conf}
+        return {"y": y, "p": pts_m.astype(jnp.float32), "w": w, "conf": conf,
+                "att": att}
+
+
+def correspondence_attention_loss(out, gt_q, gt_t, contact, valids,
+                                  sigma=0.05, eps_row=0.1):
+    """Direct supervision of the matching attention by GT geometry.
+
+    The round-5 probe showed the indirect match loss lets the encoder
+    memorize (train loss falls, held-out rel_gd stays at the Haar floor)
+    while the oracle-descriptor closure proved the module generalizes when
+    the descriptors carry signal (results/RESULTS.md). This term supplies the
+    per-point signal directly: for every contact pair (i, j), each query
+    point of i whose canonical position has a mate on j within `eps_row`
+    gets a target match distribution ∝ exp(−d²/2σ²) over j's points (d =
+    canonical-space distance), and the attention row pays its cross-entropy.
+    Rows with no close mate (interior points) are masked out, so saliency —
+    not this loss — decides what to do with them.
+    """
+    from ..models.losses_3d import transform_pc
+
+    att, p = out["att"], out["p"]
+    q_conj = gt_q * jnp.array([1.0, -1.0, -1.0, -1.0])
+    canon = transform_pc(gt_t, q_conj, p)  # (B, P, m, 3)
+    d2 = (jnp.sum(canon * canon, axis=-1)[:, :, None, :, None]
+          + jnp.sum(canon * canon, axis=-1)[:, None, :, None, :]
+          - 2.0 * jnp.einsum("bpav,bqcv->bpqac", canon, canon))
+    d2 = jnp.maximum(d2, 0.0)  # (B, P, P, m, m)
+    target = jax.nn.softmax(-d2 / (2.0 * sigma * sigma), axis=-1)
+    row_ok = jnp.min(d2, axis=-1) < eps_row * eps_row  # (B, P, P, m)
+    c = contact.astype(jnp.float32)[..., None] * row_ok.astype(jnp.float32)
+    ce = -jnp.sum(target * jnp.log(att + 1e-9), axis=-1)  # (B, P, P, m)
+    return jnp.sum(c * ce) / jnp.maximum(jnp.sum(c), 1.0)
 
 
 def correspondence_rel_loss(out, gt_q, gt_t, contact, valids):

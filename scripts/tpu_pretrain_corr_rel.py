@@ -32,6 +32,7 @@ from diffassemble_tpu.data.breaking_bad import SyntheticFractures, collate_fragm
 from diffassemble_tpu.models import losses_3d
 from diffassemble_tpu.nn.correspondence import (
     CorrespondencePairs,
+    correspondence_attention_loss,
     correspondence_rel_loss,
     solve_rel_poses,
 )
@@ -84,6 +85,11 @@ def main():
     ap.add_argument("--canonical", type=float, default=0.6)
     ap.add_argument("--wall_detail", type=float, default=0.06)
     ap.add_argument("--wall_boost", type=int, default=2)
+    ap.add_argument("--att_weight", type=float, default=0.0,
+                    help="weight of correspondence_attention_loss (direct "
+                         "geometric supervision of the matching attention; "
+                         "0 reproduces the round-5 probe, which memorized — "
+                         "see results/RESULTS.md)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--deadline_margin", type=float, default=3900.0)
     args = ap.parse_args()
@@ -104,6 +110,9 @@ def main():
         gt_q, gt_t = x0[..., :4], x0[..., 4:7]
         contact = losses_3d.contact_matrix(pcds, gt_q, gt_t, mask)
         losses = correspondence_rel_loss(out, gt_q, gt_t, contact, mask)
+        if args.att_weight:
+            losses["corr_att_loss"] = args.att_weight * \
+                correspondence_attention_loss(out, gt_q, gt_t, contact, mask)
         return sum(losses.values()), losses
 
     @jax.jit

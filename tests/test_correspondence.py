@@ -150,3 +150,43 @@ def test_vn_dgcnn_return_points_descriptor_invariant():
     enc_plain = VN_DGCNN(feat_dim=16, n_knn=8)
     out_plain = enc_plain.apply(params, pts)
     assert float(jnp.abs(out_plain - out).max()) < 1e-6, "pooled output changed"
+
+
+def test_correspondence_attention_loss_prefers_true_matching():
+    """CE against the geometric target: perfect attention (built from the GT
+    canonical distances) must score strictly better than uniform attention,
+    and grads must be finite through the module."""
+    from diffassemble_tpu.nn.correspondence import correspondence_attention_loss
+
+    rng = np.random.default_rng(7)
+    b, p_, m = 2, 3, 16
+    # mated geometry: all parts sample the SAME canonical points, each part
+    # sees them in its own frame
+    canon = jnp.asarray(rng.normal(size=(b, 1, m, 3)).astype(np.float32))
+    q = so3.random_quaternion(jax.random.PRNGKey(8), (b, p_))
+    t = jnp.asarray(rng.normal(size=(b, p_, 3)).astype(np.float32) * 0.2)
+    M = so3.quaternion_to_matrix(q)
+    pts = jnp.einsum("bpvc,bpmc->bpmv", M, canon - t[:, :, None])
+    contact = jnp.ones((b, p_, p_), bool) & ~jnp.eye(p_, dtype=bool)
+    valids = jnp.ones((b, p_))
+
+    ident = jnp.broadcast_to(jnp.eye(m), (b, p_, p_, m, m))
+    unif = jnp.full((b, p_, p_, m, m), 1.0 / m)
+    out_perfect = {"att": ident, "p": pts}
+    out_unif = {"att": unif, "p": pts}
+    l_perfect = correspondence_attention_loss(out_perfect, q, t, contact, valids)
+    l_unif = correspondence_attention_loss(out_unif, q, t, contact, valids)
+    assert float(l_perfect) < float(l_unif) - 0.5
+
+    # finite grads end-to-end through CorrespondencePairs
+    desc = jnp.asarray(rng.normal(size=(b, p_, m, 8)).astype(np.float32))
+    mod = CorrespondencePairs(d_model=16, m_points=m)
+    params = mod.init(jax.random.PRNGKey(0), pts, desc)
+
+    def f(prm):
+        out = mod.apply(prm, pts, desc)
+        return correspondence_attention_loss(out, q, t, contact, valids)
+
+    val, g = jax.value_and_grad(f)(params)
+    assert bool(jnp.isfinite(val))
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
