@@ -75,6 +75,12 @@ def add_3d_args(ap: argparse.ArgumentParser) -> None:
                     help="corrugation amplitude of synthetic fracture walls")
     ap.add_argument("--wall_boost", type=int, default=1,
                     help="wall point-density multiplier in SyntheticFractures")
+    ap.add_argument("--wall_surface", type=str2bool, default=False,
+                    help="project wall samples onto the shared Voronoi sheet "
+                         "(registrable fracture faces; breaking_bad.py)")
+    ap.add_argument("--wall_freq", type=float, default=14.0,
+                    help="wall corrugation frequency (~5 keeps the sheet "
+                         "sub-Nyquist at <=1k pts/part)")
     ap.add_argument("--num_points", type=int, default=1000,
                     help="points sampled per part (reference --num_points)")
     ap.add_argument("--ema_decay", type=float, default=0.0,
@@ -129,6 +135,8 @@ def build_3d(args):
         voronoi=args.synthetic_voronoi,
         wall_detail=args.wall_detail,
         wall_boost=args.wall_boost,
+        wall_surface=args.wall_surface,
+        wall_freq=args.wall_freq,
     )
     return model, train_ds, test_ds, cats
 

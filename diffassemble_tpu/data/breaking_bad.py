@@ -94,6 +94,8 @@ class SyntheticFractures:
         voronoi: bool = True,
         wall_detail: float = 0.0,
         wall_boost: int = 1,
+        wall_surface: bool = False,
+        wall_freq: float = 14.0,
     ):
         self.n = n
         self.num_points = num_points
@@ -114,6 +116,20 @@ class SyntheticFractures:
         # the way real fragment scans are wall-dominated.
         self.wall_detail = wall_detail
         self.wall_boost = max(1, int(wall_boost))
+        # wall_surface=True projects every wall sample onto the exact Voronoi
+        # boundary plane, so mating fragments carry two INDEPENDENT samplings
+        # of ONE shared corrugated 2D sheet — like real Breaking-Bad fracture
+        # faces (two scans of the same physical surface). The default (False,
+        # all pre-round-5 corpora) radially fills the boundary *band*, which
+        # makes each wall a volumetric slab: measured round-5, nearest-point
+        # objectives on slab walls prefer interpenetration over the true pose
+        # (plane-residual ratio 0.51 at GT), so ICP refinement cannot snap.
+        self.wall_surface = wall_surface
+        # corrugation frequency along the sheet. The historical 14.0 puts the
+        # wiggle below sampling Nyquist at <=1k pts/part (slope amp*freq ~ 1.1
+        # acts as matching noise); ~5.0 keeps the sheet locally smooth so
+        # nearest-point registration can lock onto it.
+        self.wall_freq = float(wall_freq)
 
     @property
     def category_names(self) -> list[str]:
@@ -132,7 +148,12 @@ class SyntheticFractures:
     def _radius(self, dirs: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         """Radial extent r(direction): canonical-weighted fixed texture field +
         object-specific low-frequency variety."""
-        freqs = rng.normal(size=(3, 3))
+        return self._radius_eval(dirs, rng.normal(size=(3, 3)))
+
+    def _radius_eval(self, dirs: np.ndarray, freqs: np.ndarray) -> np.ndarray:
+        """The radius field at `dirs` for a given object latent `freqs` —
+        split from _radius so wall_surface can re-evaluate the SAME object's
+        field at boundary-projected directions (rng consumption unchanged)."""
         s_obj = np.sin(dirs @ freqs.T).sum(-1) / np.sqrt(3.0)
         f, ph, a = _FIELD
         s_fix = (a * np.sin(dirs @ f.T + ph)).sum(-1) / np.linalg.norm(a)
@@ -156,7 +177,8 @@ class SyntheticFractures:
         n_dense = self.num_points * max(p, 4) * 2
         sphere_dirs = rng.normal(size=(n_dense, 3))
         sphere_dirs /= np.linalg.norm(sphere_dirs, axis=-1, keepdims=True)
-        radius = self._radius(sphere_dirs, rng)
+        field = rng.normal(size=(3, 3))  # same draw _radius made pre-round-5
+        radius = self._radius_eval(sphere_dirs, field)
         stretch = self._stretch()
 
         if self.voronoi:
@@ -184,20 +206,61 @@ class SyntheticFractures:
             band_top2 = np.repeat(top2[in_band], reps, axis=0)
             wall_labels = np.repeat(labels[in_band], reps)
             t = rng.uniform(0.12, 1.0, size=len(band_dirs))
-            wall = band_dirs * (band_radius * t)[:, None]
-            if self.wall_detail > 0:
-                # corrugate the shared sheet: displacement along the local
-                # boundary normal, phase varying with radial depth and with
-                # position along the boundary — a function of (direction, t)
-                # only, identical for the two mating fragments
-                sa = seeds[band_top2[:, 0]]
-                sb = seeds[band_top2[:, 1]]
-                nvec = sa - sb
-                nvec -= band_dirs * np.sum(nvec * band_dirs, -1, keepdims=True)
-                nvec /= np.maximum(np.linalg.norm(nvec, axis=-1, keepdims=True), 1e-6)
-                along = np.sum(band_dirs * np.cross(sa, sb), -1)
-                amp = self.wall_detail * np.sin(14.0 * t * band_radius + 11.0 * along)
-                wall = wall + amp[:, None] * nvec
+            sa = seeds[band_top2[:, 0]]
+            sb = seeds[band_top2[:, 1]]
+            if self.wall_surface:
+                # project every wall sample onto the exact Voronoi boundary
+                # plane {x : x.(sa-sb) = 0}: mating fragments then carry two
+                # independent samplings of ONE shared 2D sheet (see __init__).
+                # The pair must be ordered by part INDEX, not (top1, top2):
+                # the mating part sees the same pair with roles swapped, and
+                # sa-sb / sa x sb change sign under the swap — with top-order
+                # the corrugation of the two "shared" sheets differed by a
+                # phase flip and they never actually coincided (measured:
+                # plane-residual ratio stuck at ~0.55 = random).
+                lo = band_top2.min(-1)
+                hi = band_top2.max(-1)
+                sa, sb = seeds[lo], seeds[hi]
+                m = sa - sb
+                m /= np.maximum(np.linalg.norm(m, axis=-1, keepdims=True), 1e-6)
+                d = band_dirs - m * np.sum(band_dirs * m, -1, keepdims=True)
+                d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
+                # near triple junctions the (i,j) bisector extends into a
+                # third cell's territory: a projected direction whose nearest
+                # seed is some k not in {i, j} is a phantom sheet segment
+                # crossing part k's real walls — drop it (both mating parts
+                # drop the same region, so the shared sheet stays shared)
+                dall = d @ seeds.T
+                own = np.take_along_axis(dall, band_top2[:, :1], -1)[:, 0]
+                keep = dall.max(-1) <= own + 1e-9
+                d, t = d[keep], t[keep]
+                sa, sb, m = sa[keep], sb[keep], m[keep]
+                band_top2 = band_top2[keep]
+                wall_labels = wall_labels[keep]
+                r_proj = self._radius_eval(d, field)
+                wall = d * (r_proj * t)[:, None]
+                if self.wall_detail > 0:
+                    # corrugation displaces along the plane normal m, phase a
+                    # function of the sheet coordinates (radial depth, arc
+                    # position) — identical for both mating samplings
+                    along = np.sum(d * np.cross(sa, sb), -1)
+                    amp = self.wall_detail * np.sin(
+                        self.wall_freq * t * r_proj + 11.0 * along)
+                    wall = wall + amp[:, None] * m
+            else:
+                wall = band_dirs * (band_radius * t)[:, None]
+                if self.wall_detail > 0:
+                    # corrugate the band fill: displacement along the local
+                    # boundary normal, phase varying with radial depth and
+                    # with position along the boundary — a function of
+                    # (direction, t) only, shared by the two mating fragments
+                    nvec = sa - sb
+                    nvec -= band_dirs * np.sum(nvec * band_dirs, -1, keepdims=True)
+                    nvec /= np.maximum(np.linalg.norm(nvec, axis=-1, keepdims=True), 1e-6)
+                    along = np.sum(band_dirs * np.cross(sa, sb), -1)
+                    amp = self.wall_detail * np.sin(
+                        self.wall_freq * t * band_radius + 11.0 * along)
+                    wall = wall + amp[:, None] * nvec
             wall *= stretch
             pts = np.concatenate([outer, wall]).astype(np.float32)
             labels = np.concatenate([labels, wall_labels])
@@ -214,7 +277,14 @@ class SyntheticFractures:
             remap = {u: i % p for i, u in enumerate(uniq)}
             labels = np.vectorize(remap.get)(labels)
 
+        if self.voronoi:
+            is_wall = np.concatenate(
+                [np.zeros(len(outer), bool), np.ones(len(wall), bool)])
+        else:
+            is_wall = np.zeros(len(pts), bool)
+
         pcds = np.zeros((p, self.num_points, 3), dtype=np.float32)
+        wall_flags = np.zeros((p, self.num_points), dtype=bool)
         trans = np.zeros((p, 3), dtype=np.float32)
         quats = _random_quaternion(rng, p)
         for part in range(p):
@@ -229,6 +299,7 @@ class SyntheticFractures:
             sel = pts[mask]
             take = rng.integers(0, len(sel), size=self.num_points)
             cloud = sel[take]
+            wall_flags[part] = is_wall[mask][take]
             center = cloud.mean(0)
             trans[part] = center  # gt translation (recenter, :77-82)
             cloud = cloud - center
@@ -242,6 +313,9 @@ class SyntheticFractures:
             "category": int(rng.integers(self.n_categories)),
             "index": idx,
             "n_parts": p,
+            # diagnostic only (not collated): which sampled points lie on
+            # fracture walls vs the outer cap
+            "wall": wall_flags[order],
         }
 
 
@@ -402,6 +476,8 @@ def get_dataset_3d(
     voronoi: bool = True,
     wall_detail: float = 0.0,
     wall_boost: int = 1,
+    wall_surface: bool = False,
+    wall_freq: float = 14.0,
 ):
     """3D dataset factory (reference dataset_utils.get_dataset_3d :425-462).
     Falls back to SyntheticFractures when the real data is absent;
@@ -422,10 +498,12 @@ def get_dataset_3d(
             train_n, num_points, min_num_part, min(max_num_part, 8), seed=seed,
             canonical=canonical, voronoi=voronoi,
             wall_detail=wall_detail, wall_boost=wall_boost,
+            wall_surface=wall_surface, wall_freq=wall_freq,
         )
         test = SyntheticFractures(
             test_n, num_points, min_num_part, min(max_num_part, 8), seed=seed + 1,
             canonical=canonical, voronoi=voronoi,
             wall_detail=wall_detail, wall_boost=wall_boost,
+            wall_surface=wall_surface, wall_freq=wall_freq,
         )
     return train, test, train.category_names

@@ -1,0 +1,223 @@
+"""Post-sampler SE(3) pose refinement — batched multiview trimmed ICP.
+
+The diffusion sampler lands fragments within tens of degrees / a few
+hundredths of a unit of the true pose (round-5 flagship: rmse_r ~34 deg,
+rmse_t ~0.13 on the decodable corpus), but the reference's part-accuracy
+metric gates each part at per-part Chamfer < 0.01 — roughly <=10 deg and
+<=0.03 units on this data's scale (results/diagnostics/eval3d_vndgcnn.json
+calibration). This module closes that gap with a *geometric* stage the
+reference does not have: all fragments of an object are registered against
+each other simultaneously (multiview trimmed ICP), initialized at the
+sampler output.
+
+Design — each piece below survived a measured failure of a simpler variant:
+  * Correspondences: nearest neighbour of each point in the union of the
+    OTHER valid parts, re-estimated every outer iteration (classic ICP).
+  * Trimming + GNC weights: only each part's closest `trim` fraction of
+    points carries loss, Gaussian-weighted with sigma annealed
+    sigma0 -> sigma1. Without trimming every exterior point pulls its part
+    inward and the global optimum is overlap collapse (measured: refinement
+    from ground truth drifted 0.23 units).
+  * Normal-compatibility gate |n_u . n_v|^4: mating fracture walls have
+    parallel-up-to-sign normals (local-PCA normals have arbitrary sign);
+    exterior->wall matches — the residual shrinkage force — do not.
+  * Damped per-part Gauss-Newton updates in closed form, NOT first-order
+    gradient descent: a wall contact leaves ~3 near-flat directions (2 slide
+    + 1 in-plane spin), and Adam's unit-RMS steps walk 0.1+ units along any
+    consistent micro-gradient in those flats (measured drift from GT with
+    zero perturbation). The damped normal equations give exactly zero update
+    where there is zero residual gradient.
+  * Residuals: point-to-plane rows (n . (u + omega x u + dt - v)) plus
+    down-weighted point-to-point rows for capture range. Point-to-point
+    alone bottoms out at the sampling spacing (~1/sqrt(S)) and biases
+    toward interpenetration; point-to-plane is flat along the wall.
+
+TPU-first: one `lax.scan` over outer iterations; everything static-shaped,
+batched over objects AND parts. The (B, P, S, P*S) distance tensor per
+iteration is one MXU matmul (ops.knn.pairwise_sqdist); the pose update is a
+batched 6x6 solve. No Python control flow, jit/vmap-safe.
+
+Used by `scripts/tpu_eval_3d.py --refine_steps K` as an optional extra stage
+(off by default so the parity numbers stay raw-sampler).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import so3
+from ..ops.knn import knn_indices, pairwise_sqdist
+from .losses_3d import transform_pc
+
+_FAR = 1.0e6  # sentinel squared-distance for masked correspondence targets
+
+
+class RefineResult(NamedTuple):
+    quat: jnp.ndarray   # (B, P, 4) refined rotations (wxyz, unit)
+    trans: jnp.ndarray  # (B, P, 3) refined translations
+    resid0: jnp.ndarray  # (B,) weighted mean nearest distance before
+    resid1: jnp.ndarray  # (B,) weighted mean nearest distance after
+
+
+def _pca_normals(pts: jnp.ndarray, k: int = 10) -> jnp.ndarray:
+    """(B, P, S, 3) local clouds -> (B, P, S, 3) unit normals via k-NN PCA.
+
+    Smallest eigenvector of each point's neighbourhood covariance. Sign is
+    arbitrary — consumers must use sign-invariant gates and squared
+    residuals whose sign flips with n (point-to-plane rows are sign-covariant
+    as a whole equation, so the solve is unaffected).
+    """
+    idx = knn_indices(pts, k)                             # (B, P, S, k)
+    nb = jax.vmap(jax.vmap(lambda c, i: c[i]))(pts, idx)  # (B, P, S, k, 3)
+    nb = nb - jnp.mean(nb, axis=-2, keepdims=True)
+    cov = jnp.einsum("...ki,...kj->...ij", nb, nb,
+                     precision=jax.lax.Precision.HIGHEST)
+    _, vecs = jnp.linalg.eigh(cov)
+    n = vecs[..., :, 0]
+    return n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
+
+
+def _correspond(x, n_world, node_mask, sigma, trim):
+    """Nearest-other-part correspondences with frozen robust weights.
+
+    x: (B, P, S, 3) current world points; n_world: matching normals.
+    Returns (tgt, tgt_n, w, diag): targets, target normals, weights, and the
+    weighted mean nearest distance.
+    """
+    b, p, s, _ = x.shape
+    flat = x.reshape(b, p * s, 3)
+    flat_n = n_world.reshape(b, p * s, 3)
+    valid = node_mask.astype(x.dtype)
+    pid = jnp.arange(p)
+    tgt_ok = node_mask[:, None, :] & (pid[None, :, None] != pid[None, None, :])
+    tgt_ok = jnp.repeat(tgt_ok, s, axis=-1)                   # (B, P, P*S)
+    d2 = pairwise_sqdist(x, flat[:, None])                    # (B, P, S, P*S)
+    d2 = jnp.where(tgt_ok[:, :, None, :], d2, _FAR)
+    idx = jnp.argmin(d2, axis=-1)                             # (B, P, S)
+    dmin = jnp.min(d2, axis=-1)
+    wg = jnp.exp(-dmin / (sigma * sigma))
+    kth = jnp.sort(dmin, axis=-1)[..., max(int(trim * s) - 1, 0)]
+    wt = (dmin <= kth[..., None]).astype(x.dtype)
+    g = jax.vmap(lambda f, i: f[i])
+    tgt = g(flat, idx.reshape(b, p * s)).reshape(b, p, s, 3)
+    tgt_n = g(flat_n, idx.reshape(b, p * s)).reshape(b, p, s, 3)
+    ncomp = jnp.abs(jnp.sum(n_world * tgt_n, axis=-1)) ** 4
+    w = wg * wt * ncomp * valid[..., None]                    # (B, P, S)
+    wsum = jnp.sum(w, axis=(1, 2)) + 1e-9
+    diag = jnp.sum(w * jnp.sqrt(dmin + 1e-12), axis=(1, 2)) / wsum
+    return tgt, tgt_n, w, diag
+
+
+def refine_poses(
+    pts: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    quat: jnp.ndarray,
+    trans: jnp.ndarray,
+    *,
+    steps: int = 40,
+    sigma0: float = 0.2,
+    sigma1: float = 0.04,
+    trim: float = 0.25,
+    p2p_mix: float = 0.1,
+    damping: float = 1e-3,
+    anchor: float = 0.05,
+    step_scale: float = 0.5,
+    max_rot_step: float = 0.15,
+    n_sub: int = 256,
+    normals_k: int = 10,
+) -> RefineResult:
+    """Refine per-part SE(3) poses by multiview trimmed ICP (see module doc).
+
+    Each of `steps` outer iterations re-estimates correspondences, then
+    applies one damped Gauss-Newton update per part (Jacobi style: all parts
+    updated simultaneously against the others' frozen poses). Fully jittable.
+    """
+    pts = pts[:, :, :n_sub]
+    normals = _pca_normals(pts, normals_k)
+    b, p, s, _ = pts.shape
+    q0 = quat / (jnp.linalg.norm(quat, axis=-1, keepdims=True) + 1e-9)
+    # POSE CONVENTION (dataset/model parity, breakingbad_dt.py:84-95): the
+    # stored quaternion is the rotation APPLIED to the centered assembled
+    # part to produce its input cloud, local = R (assembled - t). The
+    # assembled configuration ICP must register is therefore
+    #     x = R^T local + t      (row form: local @ R),
+    # and a world-frame delta dr updates R^T <- dr R^T, i.e. R <- R dr^T.
+    # (transform_pc(t, q, local) = R local + t is NOT the assembly — it is
+    # the double-rotated cloud the *metrics* compare pred-vs-gt under.)
+    r_init = so3.quaternion_to_matrix(q0)
+    eye6 = jnp.eye(6, dtype=pts.dtype)
+
+    def iteration(carry, k):
+        r, t = carry
+        frac = k / max(steps - 1, 1)
+        sigma = sigma0 * (sigma1 / sigma0) ** frac
+        x = pts @ r + t[:, :, None, :]          # R^T local + t (assembled)
+        n_world = normals @ r
+        tgt, tgt_n, w, diag = _correspond(x, n_world, node_mask, sigma, trim)
+        resid = x - tgt                                       # (B, P, S, 3)
+        # linearize around each part's centroid c (= its translation; part
+        # clouds are recentered per part): u' = dr (u - c) + c + dt, so the
+        # rows use uc = u - c and omega/dt decouple (well-conditioned 6x6)
+        uc = x - t[:, :, None, :]
+        # point-to-plane rows: d/d(omega, dt) of n.(u + omega x uc + dt - v)
+        # = [uc x n ; n]; rhs = -n.(u - v)
+        jpl = jnp.concatenate([jnp.cross(uc, tgt_n), tgt_n], axis=-1)  # (B,P,S,6)
+        rpl = -jnp.sum(resid * tgt_n, axis=-1)                # (B, P, S)
+        # point-to-point rows (3 per point): d/d. of (u + omega x uc + dt - v)_a
+        # = [-[uc]x ; I]_a; rhs = -(u - v)_a — added with weight p2p_mix for
+        # capture range at large initial rotations
+        ux = so3.vec2skew(uc)                                 # (B, P, S, 3, 3)
+        jpt = jnp.concatenate(
+            [-ux, jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype), ux.shape)],
+            axis=-1)                                           # (B, P, S, 3, 6)
+        hp = jax.lax.Precision.HIGHEST
+        a = (jnp.einsum("bpsi,bpsj->bpij", w[..., None] * jpl, jpl, precision=hp)
+             + p2p_mix * jnp.einsum("bpsai,bpsaj->bpij",
+                                    w[..., None, None] * jpt, jpt, precision=hp))
+        rhs = (jnp.einsum("bpsi,bps->bpi", jpl, w * rpl, precision=hp)
+               + p2p_mix * jnp.einsum("bpsai,bpsa->bpi",
+                                      jpt, w[..., None] * -resid, precision=hp))
+        wn = jnp.sum(w, axis=-1)[..., None, None] + 1e-9
+        # anchor prior: extra quadratic rows pulling the CUMULATIVE deviation
+        # from the sampler pose back to zero — bounds the random walk along
+        # the registration noise floor (the surface term is gauge-invariant;
+        # the sampler output carries the absolute pose)
+        # cumulative world-frame delta: R_cur^T = DR R_init^T => DR = R_cur^T R_init
+        dev_w = so3.rmat_to_rotvec(so3._mm(jnp.swapaxes(r, -1, -2), r_init))
+        dev = jnp.concatenate([dev_w, t - trans], axis=-1)      # (B, P, 6)
+        a_n = a / wn + (damping + anchor) * eye6
+        rhs_n = rhs / wn[..., 0] - anchor * dev
+        delta = jnp.linalg.solve(a_n, rhs_n[..., None])[..., 0]
+        # Jacobi relaxation: all parts update simultaneously against the
+        # others' frozen poses, so an unrelaxed step makes facing parts
+        # leapfrog (measured: two parts 0.05 apart SWAP positions every
+        # iteration and never converge). 0.5 makes the pairwise exchange a
+        # contraction.
+        delta = step_scale * delta
+        omega, dt = delta[..., :3], delta[..., 3:]
+        # trust region on the rotation step keeps early (wide-sigma) updates
+        # from overshooting the linearization
+        onorm = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+        omega = omega * jnp.minimum(1.0, max_rot_step / (onorm + 1e-9))
+        dr = so3.rotvec_to_rmat(omega)
+        # apply the centered world update: R^T <- dr R^T => R <- R dr^T;
+        # c = t, so dr (t - c) + c + dt reduces to t + dt
+        r_new = so3._mm(r, jnp.swapaxes(dr, -1, -2))
+        t_new = t + dt
+        ok = node_mask[..., None].astype(pts.dtype)
+        r_new = r_new * ok[..., None] + r * (1 - ok[..., None])
+        t_new = t_new * ok + t * (1 - ok)
+        return (r_new, t_new), diag
+
+    x0 = pts @ r_init + trans[:, :, None, :]
+    n0 = normals @ r_init
+    _, _, _, resid0 = _correspond(x0, n0, node_mask, sigma1, trim)
+    (r1, t1), _ = jax.lax.scan(
+        iteration, (r_init, trans), jnp.arange(steps, dtype=pts.dtype))
+    x1 = pts @ r1 + t1[:, :, None, :]
+    n1 = normals @ r1
+    _, _, _, resid1 = _correspond(x1, n1, node_mask, sigma1, trim)
+    return RefineResult(so3.matrix_to_quaternion(r1), t1, resid0, resid1)

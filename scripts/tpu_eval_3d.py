@@ -60,6 +60,16 @@ def main():
     ap.add_argument("--wall_detail", type=float, default=0.0,
                     help="fracture-wall saliency (match the training corpus)")
     ap.add_argument("--wall_boost", type=int, default=1)
+    ap.add_argument("--wall_surface", type=int, default=0,
+                    help="1 = project walls onto the shared Voronoi sheet "
+                         "(registrable fracture faces)")
+    ap.add_argument("--wall_freq", type=float, default=14.0)
+    ap.add_argument("--refine_steps", type=int, default=0,
+                    help=">0 adds a post-sampler multiview-ICP stage "
+                         "(models/refine3d.py) and reports refined metrics "
+                         "alongside the raw-sampler parity numbers")
+    ap.add_argument("--refine_anchor", type=float, default=0.05)
+    ap.add_argument("--refine_sigma0", type=float, default=0.2)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="results/diagnostics/eval3d_vndgcnn.json")
     args = ap.parse_args()
@@ -74,6 +84,7 @@ def main():
         min_num_part=args.min_num_part, num_points=args.num_points,
         seed=args.seed, canonical=args.canonical, voronoi=True,
         wall_detail=args.wall_detail, wall_boost=args.wall_boost,
+        wall_surface=bool(args.wall_surface), wall_freq=args.wall_freq,
     )
     tick(f"devices={jax.devices()} test_n={len(test_ds)} cats={cats}")
 
@@ -171,10 +182,31 @@ def main():
                 "rmse_r": losses_3d.rot_euler_rmse(pred_q, gt_q, v),
                 "cd_a": cd_a, "gd_a": gd_a,
                 "rmse_t_a": losses_3d.trans_rmse(a_t, gt_t, v),
+                "pred_q": pred_q, "pred_t": pred_t,
+            }
+
+        @jax.jit
+        def refine(batch, pred_q, pred_t):
+            from diffassemble_tpu.models.refine3d import refine_poses
+            res = refine_poses(
+                batch.pcds, batch.node_mask.astype(bool), pred_q, pred_t,
+                steps=args.refine_steps, anchor=args.refine_anchor,
+                sigma0=args.refine_sigma0)
+            gt_q, gt_t = batch.x0[..., :4], batch.x0[..., 4:7]
+            v = batch.node_mask
+            cd = per_part_cd(batch.pcds, res.trans, gt_t, res.quat, gt_q)
+            gd = so3.geodesic_distance_rmat(
+                so3.quaternion_to_matrix(res.quat),
+                so3.quaternion_to_matrix(gt_q))
+            return {
+                "cd": cd, "gd": gd,
+                "rmse_t": losses_3d.trans_rmse(res.trans, gt_t, v),
+                "rmse_r": losses_3d.rot_euler_rmse(res.quat, gt_q, v),
             }
 
         cds, gds, rts, rrs = [], [], [], []
         cdas, gdas, rtas = [], [], []
+        ref_cds, ref_gds, ref_rts, ref_rrs = [], [], [], []
         for b in batches:
             r = jax.device_get(run(params, b))
             mask = r["v"].astype(bool)
@@ -182,6 +214,11 @@ def main():
             rts.append(r["rmse_t"]); rrs.append(r["rmse_r"])
             cdas.append(r["cd_a"][mask]); gdas.append(r["gd_a"][mask])
             rtas.append(r["rmse_t_a"])
+            if args.refine_steps > 0:
+                rr = jax.device_get(refine(
+                    b, jnp.asarray(r["pred_q"]), jnp.asarray(r["pred_t"])))
+                ref_cds.append(rr["cd"][mask]); ref_gds.append(rr["gd"][mask])
+                ref_rts.append(rr["rmse_t"]); ref_rrs.append(rr["rmse_r"])
         cd = np.concatenate(cds); gd = np.concatenate(gds)
         cd_a = np.concatenate(cdas); gd_a = np.concatenate(gdas)
         row = {
@@ -201,6 +238,16 @@ def main():
                 "cd_median": float(np.median(cd_a)),
             },
         }
+        if args.refine_steps > 0:
+            rcd = np.concatenate(ref_cds); rgd = np.concatenate(ref_gds)
+            row["refined"] = {
+                "steps": args.refine_steps,
+                "gd_r": float(rgd.mean()),
+                "rmse_t": float(np.mean(np.asarray(ref_rts, dtype=np.float64))),
+                "rmse_r": float(np.mean(np.asarray(ref_rrs, dtype=np.float64))),
+                "part_acc": {str(t): float((rcd < t).mean()) for t in args.thresholds},
+                "cd_median": float(np.median(rcd)),
+            }
         tick(json.dumps(row))
         out_rows.append(row)
 
