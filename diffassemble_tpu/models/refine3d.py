@@ -80,10 +80,15 @@ def _pca_normals(pts: jnp.ndarray, k: int = 10) -> jnp.ndarray:
     return n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
 
 
-def _correspond(x, n_world, node_mask, sigma, trim):
+def _correspond(x, n_world, node_mask, sigma, trim, point_w=None):
     """Nearest-other-part correspondences with frozen robust weights.
 
     x: (B, P, S, 3) current world points; n_world: matching normals.
+    point_w: optional (B, P, S) in [0, 1] — e.g. fracture-wall membership.
+    Points with weight 0 neither source nor receive correspondences (only
+    walls carry true cross-part matches; exterior points are the shrinkage
+    force trimming merely attenuates — measured: wall-only matching extends
+    the ICP capture range).
     Returns (tgt, tgt_n, w, diag): targets, target normals, weights, and the
     weighted mean nearest distance.
     """
@@ -94,18 +99,29 @@ def _correspond(x, n_world, node_mask, sigma, trim):
     pid = jnp.arange(p)
     tgt_ok = node_mask[:, None, :] & (pid[None, :, None] != pid[None, None, :])
     tgt_ok = jnp.repeat(tgt_ok, s, axis=-1)                   # (B, P, P*S)
+    if point_w is not None:
+        tgt_ok = tgt_ok & (point_w.reshape(b, 1, p * s) > 0)
     d2 = pairwise_sqdist(x, flat[:, None])                    # (B, P, S, P*S)
     d2 = jnp.where(tgt_ok[:, :, None, :], d2, _FAR)
     idx = jnp.argmin(d2, axis=-1)                             # (B, P, S)
     dmin = jnp.min(d2, axis=-1)
     wg = jnp.exp(-dmin / (sigma * sigma))
-    kth = jnp.sort(dmin, axis=-1)[..., max(int(trim * s) - 1, 0)]
-    wt = (dmin <= kth[..., None]).astype(x.dtype)
+    if point_w is not None:
+        # trim within the weighted (wall) population: push non-wall rows to
+        # the far end so the kth order statistic ranks only real candidates
+        rank_d = jnp.where(point_w > 0, dmin, _FAR)
+        kth = jnp.sort(rank_d, axis=-1)[..., max(int(trim * s) - 1, 0)]
+        wt = (rank_d <= kth[..., None]).astype(x.dtype)
+    else:
+        kth = jnp.sort(dmin, axis=-1)[..., max(int(trim * s) - 1, 0)]
+        wt = (dmin <= kth[..., None]).astype(x.dtype)
     g = jax.vmap(lambda f, i: f[i])
     tgt = g(flat, idx.reshape(b, p * s)).reshape(b, p, s, 3)
     tgt_n = g(flat_n, idx.reshape(b, p * s)).reshape(b, p, s, 3)
     ncomp = jnp.abs(jnp.sum(n_world * tgt_n, axis=-1)) ** 4
     w = wg * wt * ncomp * valid[..., None]                    # (B, P, S)
+    if point_w is not None:
+        w = w * point_w
     wsum = jnp.sum(w, axis=(1, 2)) + 1e-9
     diag = jnp.sum(w * jnp.sqrt(dmin + 1e-12), axis=(1, 2)) / wsum
     return tgt, tgt_n, w, diag
@@ -128,6 +144,7 @@ def refine_poses(
     max_rot_step: float = 0.15,
     n_sub: int = 256,
     normals_k: int = 10,
+    point_w: jnp.ndarray | None = None,
 ) -> RefineResult:
     """Refine per-part SE(3) poses by multiview trimmed ICP (see module doc).
 
@@ -136,6 +153,8 @@ def refine_poses(
     updated simultaneously against the others' frozen poses). Fully jittable.
     """
     pts = pts[:, :, :n_sub]
+    if point_w is not None:
+        point_w = point_w[:, :, :n_sub].astype(pts.dtype)
     normals = _pca_normals(pts, normals_k)
     b, p, s, _ = pts.shape
     q0 = quat / (jnp.linalg.norm(quat, axis=-1, keepdims=True) + 1e-9)
@@ -156,7 +175,7 @@ def refine_poses(
         sigma = sigma0 * (sigma1 / sigma0) ** frac
         x = pts @ r + t[:, :, None, :]          # R^T local + t (assembled)
         n_world = normals @ r
-        tgt, tgt_n, w, diag = _correspond(x, n_world, node_mask, sigma, trim)
+        tgt, tgt_n, w, diag = _correspond(x, n_world, node_mask, sigma, trim, point_w)
         resid = x - tgt                                       # (B, P, S, 3)
         # linearize around each part's centroid c (= its translation; part
         # clouds are recentered per part): u' = dr (u - c) + c + dt, so the
@@ -214,10 +233,10 @@ def refine_poses(
 
     x0 = pts @ r_init + trans[:, :, None, :]
     n0 = normals @ r_init
-    _, _, _, resid0 = _correspond(x0, n0, node_mask, sigma1, trim)
+    _, _, _, resid0 = _correspond(x0, n0, node_mask, sigma1, trim, point_w)
     (r1, t1), _ = jax.lax.scan(
         iteration, (r_init, trans), jnp.arange(steps, dtype=pts.dtype))
     x1 = pts @ r1 + t1[:, :, None, :]
     n1 = normals @ r1
-    _, _, _, resid1 = _correspond(x1, n1, node_mask, sigma1, trim)
+    _, _, _, resid1 = _correspond(x1, n1, node_mask, sigma1, trim, point_w)
     return RefineResult(so3.matrix_to_quaternion(r1), t1, resid0, resid1)

@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--anchors", type=float, nargs="+", default=[0.01, 0.05, 0.15])
     ap.add_argument("--sigma0s", type=float, nargs="+", default=[0.1, 0.2])
     ap.add_argument("--max_rot_steps", type=float, nargs="+", default=[0.15])
+    ap.add_argument("--wall_only", type=int, default=0,
+                    help="1 = correspondences restricted to fracture-wall "
+                         "points (point_w from the generator's wall flags)")
+    ap.add_argument("--trim", type=float, default=0.25)
     ap.add_argument("--out", default="results/diagnostics/refine3d_probe.json")
     args = ap.parse_args()
 
@@ -57,8 +61,18 @@ def main():
         wall_detail=0.08, wall_boost=3, wall_surface=True,
         wall_freq=args.wall_freq)
     rng = np.random.default_rng(0)
-    nb = collate_fragments([ds[i] for i in range(args.n)], 8, rng=rng)
+    samples = [ds[i] for i in range(args.n)]
+    nb = collate_fragments(samples, 8, rng=rng)
     batch = FragmentBatch(*[jnp.asarray(a) for a in nb])
+    point_w = None
+    if args.wall_only:
+        pw = np.zeros(batch.pcds.shape[:3], np.float32)
+        for i, smp in enumerate(samples):
+            pw[i, : smp["n_parts"]] = smp["wall"].astype(np.float32)
+        point_w = jnp.asarray(pw)
+        frac = float(pw.sum() / np.asarray(batch.node_mask).sum() /
+                     args.num_points)
+        tick(f"wall fraction {frac:.3f}")
     gt_q, gt_t = batch.x0[..., :4], batch.x0[..., 4:7]
     v = batch.node_mask
     tick(f"corpus {batch.pcds.shape} parts={int(v.sum())}")
@@ -80,7 +94,8 @@ def main():
         q, t = perturb(key, rot_deg, trans_sigma)
         res = refine_poses(batch.pcds, v.astype(bool), q, t,
                            steps=args.steps, anchor=anchor, sigma0=sigma0,
-                           max_rot_step=max_rot_step, n_sub=args.n_sub)
+                           max_rot_step=max_rot_step, n_sub=args.n_sub,
+                           trim=args.trim, point_w=point_w)
         cd0 = per_part_cd(batch.pcds, t, gt_t, q, gt_q)
         cd1 = per_part_cd(batch.pcds, res.trans, gt_t, res.quat, gt_q)
         gd0 = so3.geodesic_distance_rmat(

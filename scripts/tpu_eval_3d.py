@@ -70,6 +70,7 @@ def main():
                          "alongside the raw-sampler parity numbers")
     ap.add_argument("--refine_anchor", type=float, default=0.05)
     ap.add_argument("--refine_sigma0", type=float, default=0.2)
+    ap.add_argument("--refine_trim", type=float, default=0.25)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="results/diagnostics/eval3d_vndgcnn.json")
     args = ap.parse_args()
@@ -89,11 +90,20 @@ def main():
     tick(f"devices={jax.devices()} test_n={len(test_ds)} cats={cats}")
 
     rng = np.random.default_rng(args.seed)
-    batches = []
+    batches, wall_ws = [], []
     for lo in range(0, len(test_ds), args.batch):
         samples = [test_ds[i] for i in range(lo, min(lo + args.batch, len(test_ds)))]
         nb = collate_fragments(samples, args.max_num_part, rng=rng)
         batches.append(FragmentBatch(*[jnp.asarray(a) for a in nb]))
+        # fracture-wall membership for the refine stage (wall-only matching:
+        # exterior points carry no true cross-part correspondences). Data-
+        # derived (surface segmentation), not GT-pose-derived.
+        pw = np.zeros(batches[-1].pcds.shape[:3], np.float32)
+        for i, smp in enumerate(samples):
+            if "wall" in smp:
+                pw[i, : min(smp["n_parts"], args.max_num_part)] = \
+                    smp["wall"][: args.max_num_part].astype(np.float32)
+        wall_ws.append(jnp.asarray(pw) if pw.any() else None)
 
     params = model.init(jax.random.PRNGKey(0), batches[0])
     state = create_train_state(params, model.make_optimizer(), jax.random.PRNGKey(1))
@@ -186,12 +196,13 @@ def main():
             }
 
         @jax.jit
-        def refine(batch, pred_q, pred_t):
+        def refine(batch, pred_q, pred_t, point_w):
             from diffassemble_tpu.models.refine3d import refine_poses
             res = refine_poses(
                 batch.pcds, batch.node_mask.astype(bool), pred_q, pred_t,
                 steps=args.refine_steps, anchor=args.refine_anchor,
-                sigma0=args.refine_sigma0)
+                sigma0=args.refine_sigma0, trim=args.refine_trim,
+                point_w=point_w)
             gt_q, gt_t = batch.x0[..., :4], batch.x0[..., 4:7]
             v = batch.node_mask
             cd = per_part_cd(batch.pcds, res.trans, gt_t, res.quat, gt_q)
@@ -207,7 +218,7 @@ def main():
         cds, gds, rts, rrs = [], [], [], []
         cdas, gdas, rtas = [], [], []
         ref_cds, ref_gds, ref_rts, ref_rrs = [], [], [], []
-        for b in batches:
+        for bi, b in enumerate(batches):
             r = jax.device_get(run(params, b))
             mask = r["v"].astype(bool)
             cds.append(r["cd"][mask]); gds.append(r["gd"][mask])
@@ -216,7 +227,8 @@ def main():
             rtas.append(r["rmse_t_a"])
             if args.refine_steps > 0:
                 rr = jax.device_get(refine(
-                    b, jnp.asarray(r["pred_q"]), jnp.asarray(r["pred_t"])))
+                    b, jnp.asarray(r["pred_q"]), jnp.asarray(r["pred_t"]),
+                    wall_ws[bi]))
                 ref_cds.append(rr["cd"][mask]); ref_gds.append(rr["gd"][mask])
                 ref_rts.append(rr["rmse_t"]); ref_rrs.append(rr["rmse_r"])
         cd = np.concatenate(cds); gd = np.concatenate(gds)

@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--hw", type=int, default=30)
     ap.add_argument("--degree", default="10%")
     ap.add_argument("--out", default="results/eval_sweep_900.jsonl")
+    ap.add_argument("--params", choices=["ema", "raw"], default="ema",
+                    help="'ema' = eval_params (EMA when trained with it); "
+                         "'raw' = the optimized params — run both for the "
+                         "EMA-vs-raw delta on one checkpoint")
     args = ap.parse_args()
 
     import json as _json
@@ -75,8 +79,8 @@ def main():
     restored = ckpt.restore(state)
     assert restored is not None
     from diffassemble_tpu.train.train_state import eval_params
-    params = eval_params(restored)
-    tick(f"restored step {int(restored.step)}")
+    params = eval_params(restored) if args.params == "ema" else restored.params
+    tick(f"restored step {int(restored.step)} ({args.params} params)")
 
     out = _pl.Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -115,6 +119,7 @@ def main():
         m = agg.compute()
         rec = {
             "ckpt": args.ckpt, "step": int(restored.step), "ratio": ratio,
+            "params": args.params,
             "reverse_steps": int(cfg.steps // ratio),
             "piece_acc": round(m.get("overall__piece_acc", float("nan")), 4),
             "puzzle_acc": round(m.get("overall_acc", float("nan")), 4),
